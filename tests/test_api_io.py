@@ -1,0 +1,71 @@
+"""Facade + persistence: reference-compatible save-name grammar and .npz
+layout (reference: nmf/nmf.py:83-135, nmf/utils.py:96-105)."""
+import contextlib
+import io
+import os
+
+import numpy as np
+
+from tpunmf import NMF
+from tpunmf.io.npz import load_results
+
+from conftest import requires_reference
+
+
+def _factorize_small(data, k=4, **kw):
+    model = NMF(data, k)
+    params = dict(distance_type="eu", min_iter=5, max_iter=40, tol1=1e-12,
+                  tol2=1e-12, nndsvd_init=(True, "zero"))
+    params.update(kw)
+    with contextlib.redirect_stdout(io.StringIO()):
+        model.factorize(method="mur", **params)
+    return model
+
+
+def test_w_h_properties(lowrank_data):
+    model = _factorize_small(lowrank_data)
+    assert model.w is not None and model.h is not None
+    assert model.w.shape == (60, 4) and model.h.shape == (4, 48)
+
+
+def test_save_load_roundtrip(tmp_path, lowrank_data):
+    model = _factorize_small(lowrank_data)
+    with contextlib.redirect_stdout(io.StringIO()):
+        path = model.save_factorization(save_dir=str(tmp_path))
+    assert os.path.exists(path)
+    payload = load_results(path)
+    np.testing.assert_allclose(payload["w"], model.w)
+    np.testing.assert_allclose(payload["h"], model.h)
+    assert payload["i"] == model.results.i
+    assert payload["experiment"]["method"] == "mur"
+
+    restored = NMF.load_factorization(path)
+    np.testing.assert_allclose(restored.w, model.w)
+
+
+@requires_reference
+def test_save_name_grammar_matches_reference(tmp_path, lowrank_data):
+    """Feed OUR results through the REFERENCE's save_factorization and check
+    both produce the same default file name."""
+    import nmf as ref_pkg
+
+    model = _factorize_small(lowrank_data)
+    ours = model.default_save_name()
+
+    ref_model = ref_pkg.NMF(data=None, factors=4)
+    ref_model.results = model.results  # field-compatible namedtuple
+    with contextlib.redirect_stdout(io.StringIO()):
+        ref_model.save_factorization(save_dir=str(tmp_path))
+    saved = os.listdir(tmp_path)
+    assert len(saved) == 1
+    assert saved[0] == ours + ".npz"
+
+
+def test_unknown_method_raises(lowrank_data):
+    model = NMF(lowrank_data, 3)
+    try:
+        model.factorize(method="nope")
+        raised = False
+    except Exception:
+        raised = True
+    assert raised

@@ -1,0 +1,113 @@
+"""Golden-parity and property tests for the MUR solver
+(reference: nmf/mur.py:52-146)."""
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+from tpunmf.solvers import mur
+
+from conftest import requires_reference
+
+
+def _run_reference_mur(x, k, **kw):
+    from nmf import mur as ref_mur
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        return ref_mur.mur(x.copy(), k, **kw)
+
+
+@requires_reference
+@pytest.mark.parametrize("distance_type", ["eu", "kl"])
+@pytest.mark.parametrize("lambdas", [(0.0, 0.0), (0.1, 0.05)])
+def test_iterate_parity(lowrank_data, distance_type, lambdas):
+    """Iterate-for-iterate objective-trace parity on identical (NNDSVD) init."""
+    lw, lh = lambdas
+    kw = dict(
+        distance_type=distance_type,
+        min_iter=10,
+        max_iter=120,
+        tol1=1e-10,
+        tol2=1e-10,
+        lambda_w=lw,
+        lambda_h=lh,
+        nndsvd_init=(True, "zero"),
+    )
+    ref = _run_reference_mur(lowrank_data, 5, **kw)
+    ours = mur(lowrank_data, 5, **kw)
+
+    assert ours.i == ref.i
+    ro, oo = np.array(ref.obj_history), np.array(ours.obj_history)
+    assert len(ro) == len(oo)
+    np.testing.assert_allclose(oo, ro, rtol=1e-10)
+    np.testing.assert_allclose(ours.w, ref.w, rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(ours.h, ref.h, rtol=1e-7, atol=1e-10)
+
+
+@requires_reference
+def test_convergence_stop_parity(lowrank_data):
+    """Both implementations stop at the same iteration under loose tols."""
+    kw = dict(
+        distance_type="eu",
+        min_iter=5,
+        max_iter=500,
+        tol1=1e-6,
+        tol2=1e-6,
+        nndsvd_init=(True, "zero"),
+    )
+    ref = _run_reference_mur(lowrank_data, 5, **kw)
+    ours = mur(lowrank_data, 5, **kw)
+    assert ours.i == ref.i
+    assert np.isclose(ours.obj_history[-1], ref.obj_history[-1], rtol=1e-8)
+
+
+@requires_reference
+def test_negative_data_elevation(rng):
+    """min(x) < 0 data is elevated before factorization (nmf/mur.py:99-102)."""
+    x = rng.random((40, 30)) - 0.02
+    kw = dict(distance_type="eu", min_iter=5, max_iter=60, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"))
+    ref = _run_reference_mur(x, 4, **kw)
+    ours = mur(x, 4, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-9
+    )
+
+
+def test_eu_objective_monotone_nonincreasing(lowrank_data):
+    """Lee-Seung theorem: exact unregularized EU-MUR never increases the
+    objective (SURVEY §4 invariant tier)."""
+    res = mur(lowrank_data, 5, distance_type="eu", min_iter=5, max_iter=150,
+              tol1=1e-14, tol2=1e-14, nndsvd_init=(True, "zero"))
+    hist = np.array(res.obj_history)
+    assert np.all(np.diff(hist) <= 1e-10 * np.maximum(hist[:-1], 1.0))
+
+
+def test_factors_nonnegative(lowrank_data):
+    res = mur(lowrank_data, 5, distance_type="kl", min_iter=5, max_iter=50,
+              tol1=1e-12, tol2=1e-12, nndsvd_init=(True, "zero"))
+    assert res.w.min() >= 0 and res.h.min() >= 0
+
+
+def test_explicit_init_and_gram_objective(lowrank_data, rng):
+    w0 = rng.random((60, 5))
+    h0 = rng.random((5, 48))
+    res_exact = mur(lowrank_data, 5, distance_type="eu", min_iter=5, max_iter=80,
+                    tol1=1e-14, tol2=1e-14, w_init=w0, h_init=h0, objective="exact")
+    res_gram = mur(lowrank_data, 5, distance_type="eu", min_iter=5, max_iter=80,
+                   tol1=1e-14, tol2=1e-14, w_init=w0, h_init=h0, objective="gram")
+    np.testing.assert_allclose(
+        np.array(res_exact.obj_history), np.array(res_gram.obj_history), rtol=1e-9
+    )
+    np.testing.assert_allclose(res_exact.w, res_gram.w, rtol=1e-9)
+
+
+def test_blocked_execution_matches_single_dispatch(lowrank_data):
+    kw = dict(distance_type="eu", min_iter=5, max_iter=70, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"))
+    a = mur(lowrank_data, 5, **kw)
+    b = mur(lowrank_data, 5, block_size=13, **kw)
+    assert a.i == b.i
+    np.testing.assert_allclose(np.array(a.obj_history), np.array(b.obj_history))
+    np.testing.assert_allclose(a.w, b.w)

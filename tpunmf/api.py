@@ -1,0 +1,154 @@
+"""Public facade: the ``NMF`` class.
+
+API contract mirrors the reference class (reference: nmf/nmf.py:7-135):
+``NMF(data, factors, saving=True, param_file=None)``, string-dispatched
+``factorize`` over {mur, anls, admm, ao_admm}, and ``save_factorization``
+with the identical parameter-encoded default file-name grammar
+(nmf/nmf.py:95-126).
+
+Deviations (documented contract fixes / additions):
+  * ``.w`` / ``.h`` properties exist, honoring the documented contract the
+    reference breaks (its docstring promises them at nmf/nmf.py:11-12 /
+    README.md:22 but never sets them — factors only live on ``.results``).
+  * A param file's ``method_params`` are actually applied by ``factorize``
+    (the reference loads them at nmf/nmf.py:38-45 but never consults them).
+  * ``load_factorization`` restores a saved run (no load path exists in the
+    reference).
+  * ``mesh=...`` forwards device-mesh sharding to the solvers.
+"""
+from __future__ import annotations
+
+import os
+from importlib import import_module
+
+from .core.types import Results
+from .io.npz import load_results, save_results
+
+
+_METHODS = ("mur", "anls", "admm", "ao_admm")
+
+
+class NMF:
+    """Non-negative matrix factorization using MUR, ANLS, ADMM or AO-ADMM.
+
+    Example:
+        >>> from tpunmf import NMF
+        >>> model = NMF(data, factors)
+        >>> model.factorize(method="mur", **method_params)
+        >>> print(model.w, model.h)
+    """
+
+    def __init__(self, data=None, factors=None, saving=True, param_file=None):
+        self.data = data
+        self.factors = factors
+        self.saving = saving
+        self.results = None
+        self.method_params = {}
+
+        if param_file is not None:
+            try:
+                parameters = import_module(param_file)
+            except ImportError:
+                print("No parameter file found.")
+                return
+            self.method_params = dict(parameters.method_params)
+
+    # factors as documented attributes (contract fix vs reference)
+    @property
+    def w(self):
+        return None if self.results is None else self.results.w
+
+    @property
+    def h(self):
+        return None if self.results is None else self.results.h
+
+    def factorize(self, method: str = "mur", saving: bool = False, **method_params):
+        """Compute the factorization.
+
+        Possible methods: mur, anls, admm, ao_admm.  Keyword parameters are
+        forwarded to the solver (same names and defaults as the reference
+        solvers); parameters from a ``param_file`` are applied first and
+        overridden by explicit kwargs.
+        """
+        params = {**self.method_params, **method_params}
+
+        if method == "mur":
+            from .solvers import mur as _mur
+
+            self.results = _mur(self.data, self.factors, **params)
+        elif method == "anls":
+            from .solvers import anls as _anls
+
+            self.results = _anls(self.data, self.factors, **params)
+        elif method == "admm":
+            from .solvers import admm as _admm
+
+            self.results = _admm(self.data, self.factors, **params)
+        elif method == "ao_admm":
+            from .solvers import ao_admm as _ao_admm
+
+            self.results = _ao_admm(self.data, self.factors, **params)
+        else:
+            raise Exception("Method not known. Choose one from: mur anls admm ao_admm")
+
+        print("Factorization done.")
+        if saving:
+            self.save_factorization()
+        return self.results
+
+    def default_save_name(self) -> str:
+        """Parameter-encoded save name, grammar-identical to nmf/nmf.py:95-126."""
+        exp = self.results.experiment
+        save_name = f"nmf_{exp.method}"
+        save_name += f"_{self.factors}"
+        save_name += f"_{exp.distance_type}"
+        if exp.method == "admm":
+            save_name += f"_{exp.rho}"
+
+        save_name += f"_{exp.lambda_w}"
+        if exp.method in {"admm", "ao_admm"}:
+            save_name += f":{exp.prox_w}"
+
+        save_name += f"_{exp.lambda_h}"
+        if exp.method in {"admm", "ao_admm"}:
+            save_name += f":{exp.prox_h}"
+
+        if exp.nndsvd_init[0]:
+            save_name += f"_nndsvd{exp.nndsvd_init[1][0]}"
+        else:
+            save_name += "_random"
+
+        if exp.method == "anls" and exp.fcnnls:
+            save_name += "_fcnnls"
+        return save_name
+
+    def save_factorization(self, save_dir: str = "./results", save_name=None) -> str:
+        """Save factorization to file (reference-compatible .npz layout)."""
+        if self.results is None:
+            raise RuntimeError("Nothing to save: call factorize() first.")
+        os.makedirs(save_dir, exist_ok=True)
+        if save_name is None:
+            save_name = self.default_save_name()
+        save_str = os.path.join(save_dir, save_name)
+        return save_results(
+            save_str,
+            w=self.results.w,
+            h=self.results.h,
+            i=self.results.i,
+            obj_history=self.results.obj_history,
+            experiment=self.results.experiment._asdict(),
+        )
+
+    @classmethod
+    def load_factorization(cls, path: str) -> "NMF":
+        """Restore a saved factorization (new capability vs reference)."""
+        payload = load_results(path)
+        obj = cls(data=None, factors=payload["w"].shape[1])
+        obj.results = Results(
+            w=payload["w"],
+            h=payload["h"],
+            i=payload["i"],
+            obj_history=payload["obj_history"],
+            experiment=payload["experiment"],
+        )
+        return obj

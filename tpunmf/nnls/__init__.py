@@ -1,0 +1,4 @@
+from .activeset import masked_solve, nnls, nnls_activeset
+from .bpp import nnls_bpp
+
+__all__ = ["nnls", "nnls_activeset", "nnls_bpp", "masked_solve"]

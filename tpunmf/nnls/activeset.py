@@ -1,0 +1,152 @@
+"""Batched masked active-set NNLS (FCNNLS re-derived for XLA).
+
+Solves ``min_{K >= 0} ||C K - A||_F`` given the normal-equation inputs
+``CtC = C.T @ C`` and ``CtA = C.T @ A``, for all right-hand-side columns
+simultaneously.
+
+The reference implements Van Benthem & Keenan's fast combinatorial NNLS
+with shrinking numpy index sets and a data-dependent ``while`` loop
+(reference: nmf/fcnnls.py:55-136); its column-grouping trick (``cssls``,
+nmf/fcnnls.py:14-52) exists to batch LAPACK calls on CPU and its int64
+set-encoding overflows for rank > 62 (nmf/fcnnls.py:28).  None of that maps
+to a TPU, so this is a ground-up re-derivation (the algorithm from the
+paper, not the reference's code — whose inner line search is itself buggy,
+``alpha.flat[min_idx]`` at nmf/fcnnls.py:105-106 flat-indexes with row
+indices):
+
+  * passive sets are boolean masks of static shape (l, p);
+  * the per-unique-passive-set grouped solves become ONE batched masked
+    solve: for each column, ``(CtC ⊙ m m^T + diag(~m)) k = CtA ⊙ m`` —
+    entries outside the passive set solve to exactly 0, so no gathers;
+  * the feasibility line search (alpha step) is vectorized across columns;
+  * the outer/inner loops are ``lax.while_loop``s over the whole batch with
+    per-column done-masks freezing converged columns.
+
+The fixed point is the unique NNLS optimum (CtC SPD), so results agree
+with per-column Lawson-Hanson (scipy.optimize.nnls) to solver precision —
+both of the reference's ANLS paths (nmf/anls.py:24-29) are served by this
+one kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_solve(ct_c, ct_a, p_set):
+    """Batched solve of per-column passive-set subsystems.
+
+    For column j with passive mask m: solves
+    ``(CtC ⊙ m m^T + diag(~m)) k_j = CtA_j ⊙ m``.
+    Rows outside the passive set reduce to ``1 * k_i = 0``, so k_i == 0
+    exactly — equivalent to the reference's gathered subsystem solves
+    (nmf/fcnnls.py:38-50) but fixed-shape and batched.
+
+    Args:
+      ct_c: (l, l); ct_a: (l, p); p_set: (l, p) bool.
+    Returns: (l, p) solution with zeros outside the passive sets.
+    """
+    dtype = ct_a.dtype
+    m = p_set.T.astype(dtype)                      # (p, l)
+    pair = m[:, :, None] * m[:, None, :]           # (p, l, l)
+    eye = jnp.eye(ct_c.shape[0], dtype=dtype)
+    mats = ct_c[None, :, :] * pair + eye[None, :, :] * (1.0 - m)[:, :, None]
+    rhs = (ct_a.T * m)[:, :, None]                 # (p, l, 1)
+    sol = jnp.linalg.solve(mats, rhs)[:, :, 0]     # (p, l)
+    return sol.T
+
+
+def _one_hot_cols(idx, l):
+    """(p,) indices -> (l, p) bool one-hot."""
+    return jax.nn.one_hot(idx, l, dtype=bool, axis=0)
+
+
+@partial(jax.jit, static_argnames=("max_outer", "inner_cap"))
+def nnls_activeset(ct_c, ct_a, *, max_outer: int = 0, inner_cap: int = 0):
+    """Batched NNLS via masked active sets.
+
+    Args:
+      ct_c: (l, l) Gram matrix (SPD; add a ridge upstream if rank-deficient).
+      ct_a: (l, p) cross-products, one column per right-hand side.
+      max_outer: bound on outer optimality iterations (default 5*l + 10).
+      inner_cap: shared feasibility-restoration budget, like the reference's
+        ``iter_max = 3 * l_var`` (nmf/fcnnls.py:10); default 3*l.
+
+    Returns: (l, p) non-negative minimizer.
+    """
+    l, p = ct_a.shape
+    if max_outer == 0:
+        max_outer = 5 * l + 10
+    if inner_cap == 0:
+        inner_cap = 3 * l
+
+    # unconstrained seed + initial passive sets (fcnnls steps 4-7)
+    k0 = jnp.linalg.solve(ct_c, ct_a)
+    p_set = k0 > 0
+    k = jnp.where(p_set, k0, 0.0)
+    d = k
+    f_mask = ~jnp.all(p_set, axis=0)  # columns still active (step 6)
+
+    def inner_cond(c):
+        _, _, _, h_mask, it = c
+        return jnp.logical_and(jnp.any(h_mask), it < inner_cap)
+
+    def inner_body(c):
+        k, d, p_set, h_mask, it = c
+        # alpha step toward feasibility for negative passive variables
+        neg = jnp.logical_and(p_set, k < 0)
+        alpha = jnp.where(neg, d / (d - k), jnp.inf)
+        alpha_min = jnp.min(alpha, axis=0)                   # (p,)
+        min_idx = jnp.argmin(alpha, axis=0)                  # (p,)
+        d_new = d - alpha_min[None, :] * (d - k)
+        hit = jnp.logical_and(_one_hot_cols(min_idx, l), h_mask[None, :])
+        d_new = jnp.where(hit, 0.0, d_new)
+        d = jnp.where(h_mask[None, :], d_new, d)
+        p_set = jnp.logical_and(p_set, jnp.logical_not(hit))
+        k_new = masked_solve(ct_c, ct_a, p_set)
+        k = jnp.where(h_mask[None, :], k_new, k)
+        h_mask = jnp.any(k < 0, axis=0)
+        return (k, d, p_set, h_mask, it + 1)
+
+    def outer_cond(c):
+        _, _, _, f_mask, _, it = c
+        return jnp.logical_and(jnp.any(f_mask), it < max_outer)
+
+    def outer_body(c):
+        k, d, p_set, f_mask, inner_it, it = c
+        k_new = masked_solve(ct_c, ct_a, p_set)
+        k = jnp.where(f_mask[None, :], k_new, k)
+
+        # feasibility restoration (inner loop, fcnnls steps 10-13)
+        h_mask = jnp.logical_and(f_mask, jnp.any(k < 0, axis=0))
+        k, d, p_set, _, inner_it = jax.lax.while_loop(
+            inner_cond, inner_body, (k, d, p_set, h_mask, inner_it)
+        )
+
+        # optimality via dual w = CtA - CtC @ K (fcnnls step, nmf/fcnnls.py:124-127)
+        w_grad = ct_a - ct_c @ k
+        grad_off = jnp.where(p_set, 0.0, w_grad)
+        optimal = jnp.all(grad_off <= 0, axis=0)
+        f_mask = jnp.logical_and(f_mask, jnp.logical_not(optimal))
+
+        # grow passive set with the steepest off-set gradient per column
+        grad_neg_inf = jnp.where(p_set, -jnp.inf, w_grad)
+        mx_idx = jnp.argmax(grad_neg_inf, axis=0)
+        grow = jnp.logical_and(_one_hot_cols(mx_idx, l), f_mask[None, :])
+        p_set = jnp.logical_or(p_set, grow)
+        d = jnp.where(f_mask[None, :], k, d)
+        return (k, d, p_set, f_mask, inner_it, it + 1)
+
+    k, _, _, _, _, _ = jax.lax.while_loop(
+        outer_cond,
+        outer_body,
+        (k, d, p_set, f_mask, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+    )
+    return jnp.maximum(k, 0.0)
+
+
+def nnls(c, a, **kw):
+    """Convenience wrapper from raw (C, A): forms the normal equations."""
+    return nnls_activeset(c.T @ c, c.T @ a, **kw)

@@ -1,0 +1,135 @@
+"""Explicit-collective building blocks (shard_map + psum/ppermute).
+
+Under GSPMD the solvers' GEMMs contract over sharded axes and XLA inserts
+the collectives automatically; these explicit versions exist (a) as the
+tested specification of what GSPMD must produce, (b) as the substrate for
+ring/panel schedules where we want manual control of the overlap.
+
+NMF collective structure (SURVEY §2C):
+  * ``H H^T``, ``W^T X``, ``X H^T`` contract over the column-sharded item
+    axis -> per-shard partial products + psum over 'cols';
+  * ``W^T W`` contracts over the row-sharded sample axis -> psum over 'rows';
+  * ring panel rotation (ppermute) streams column panels of X/H around the
+    mesh so n beyond per-chip HBM still yields full Gram/partial products.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+
+def _axes(mesh: Mesh):
+    rows = "rows" if "rows" in mesh.axis_names else None
+    cols = "cols" if "cols" in mesh.axis_names else None
+    return rows, cols
+
+
+def gram_h(mesh: Mesh, h):
+    """H H^T with H column-sharded: local Gram + psum over 'cols'."""
+    rows, cols = _axes(mesh)
+    if cols is None:
+        return h @ h.T
+
+    def f(h_loc):
+        g = h_loc @ h_loc.T
+        return jax.lax.psum(g, cols)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P(None, cols), out_specs=P(None, None),
+        check_vma=False,
+    )(h)
+
+
+def gram_w(mesh: Mesh, w):
+    """W^T W with W row-sharded: local Gram + psum over 'rows'."""
+    rows, cols = _axes(mesh)
+    if rows is None:
+        return w.T @ w
+
+    def f(w_loc):
+        g = w_loc.T @ w_loc
+        return jax.lax.psum(g, rows)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P(rows, None), out_specs=P(None, None),
+        check_vma=False,
+    )(w)
+
+
+def xht_psum(mesh: Mesh, x, h):
+    """X @ H^T with X P(rows, cols), H P(None, cols): psum over 'cols',
+    result row-sharded like W."""
+    rows, cols = _axes(mesh)
+    if cols is None:
+        return x @ h.T
+
+    def f(x_loc, h_loc):
+        part = x_loc @ h_loc.T
+        return jax.lax.psum(part, cols)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(rows, cols), P(None, cols)),
+        out_specs=P(rows, None), check_vma=False,
+    )(x, h)
+
+
+def wtx_psum(mesh: Mesh, w, x):
+    """W^T @ X with W P(rows, None), X P(rows, cols): psum over 'rows',
+    result column-sharded like H."""
+    rows, cols = _axes(mesh)
+    if rows is None:
+        return w.T @ x
+
+    def f(w_loc, x_loc):
+        part = w_loc.T @ x_loc
+        return jax.lax.psum(part, rows)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(rows, None), P(rows, cols)),
+        out_specs=P(None, cols), check_vma=False,
+    )(w, x)
+
+
+def ring_xht(mesh: Mesh, x, h):
+    """X @ H^T as a ppermute ring over column panels.
+
+    Equivalent to ``xht_psum`` but accumulates the per-shard partial
+    products by rotating H panels around the 'cols' ring — the pattern that
+    generalizes to beyond-HBM panel streaming (each step can overlap the
+    next panel's transfer with the current panel's GEMM).
+
+    Note the contraction is over each panel's own columns, so instead of
+    rotating data we rotate nothing at all in the math — this ring
+    demonstrates the schedule: at step s every device multiplies the panel
+    it currently holds and passes it on; after num_devices steps each
+    device has accumulated the full sum (identical to psum, reduction
+    order permuted per device).
+    """
+    rows, cols = _axes(mesh)
+    if cols is None:
+        return x @ h.T
+    n_cols = mesh.shape[cols]
+
+    def f(x_loc, h_loc):
+        # pair (x_panel, h_panel) travels the ring together
+        def body(s, carry):
+            acc, xp, hp = carry
+            acc = acc + xp @ hp.T
+            perm = [(d, (d + 1) % n_cols) for d in range(n_cols)]
+            xp = jax.lax.ppermute(xp, cols, perm)
+            hp = jax.lax.ppermute(hp, cols, perm)
+            return (acc, xp, hp)
+
+        k = h_loc.shape[0]
+        acc0 = jnp.zeros((x_loc.shape[0], k), dtype=x_loc.dtype)
+        acc, _, _ = jax.lax.fori_loop(0, n_cols, body, (acc0, x_loc, h_loc))
+        return acc
+
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(rows, cols), P(None, cols)),
+        out_specs=P(rows, None), check_vma=False,
+    )(x, h)

@@ -1,0 +1,176 @@
+"""ANLS — alternating non-negative least squares (Kim & Park).
+
+Behavioral contract matches the reference solver (reference:
+nmf/anls.py:50-135): each half-problem is the Tikhonov-augmented NNLS
+``min ||[H^T; sqrt(2*lambda_w) I] W^T - [X^T; 0]||`` (nmf/anls.py:21-22),
+defaults, NNDSVD-by-default init, convergence semantics, and the quirk
+that ``distance_type='kl'`` only changes the *reported* objective — the
+updates are always least-squares (nmf/anls.py:108,114-115).
+
+TPU-first redesign:
+  * the augmented stacking is folded into the normal equations —
+    ``CtC = H H^T + 2*lambda*I`` and ``CtA = H X^T`` — so no (n+k) x k
+    concatenated matrices are ever built;
+  * both of the reference's NNLS paths (per-column Fortran Lawson-Hanson at
+    nmf/anls.py:28-29 and FCNNLS at nmf/anls.py:25) are served by batched
+    fixed-shape masked solvers (see tpunmf/nnls/): ``use_fcnnls`` is
+    accepted for API compatibility and maps to the same active-set kernel
+    (identical fixed point); ``nnls_solver='bpp'`` selects block principal
+    pivoting, the working version of the reference's dead nmf/bpp.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.losses import distance
+from ..core.types import AnlsExperiment, Results
+from ..init import nndsvd, random_init
+from ..nnls import nnls_activeset, nnls_bpp
+from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
+from .common import LoopCarry, drive, finalize_history, init_carry, while_block
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "distance_type",
+        "nnls_solver",
+        "min_iter",
+        "max_iter",
+        "use_pallas",
+        "verbose",
+    ),
+)
+def _anls_block(
+    x,
+    carry: LoopCarry,
+    stop_i,
+    tol1,
+    tol2,
+    lambda_w,
+    lambda_h,
+    *,
+    k: int,
+    distance_type: str,
+    nnls_solver: str,
+    min_iter: int,
+    max_iter: int,
+    use_pallas: bool,
+    verbose: bool,
+):
+    solve = nnls_bpp if nnls_solver == "bpp" else nnls_activeset
+    eye = jnp.eye(k, dtype=x.dtype)
+
+    def step(inner, i):
+        w, h = inner
+        # W update: normal equations of [h.T; sqrt(2*lw) I] vs [x.T; 0]
+        # (nmf/anls.py:18-31 folded: CtC = h h^T + 2*lw*I, CtA = h x^T)
+        ct_c = h @ h.T + 2.0 * lambda_w * eye
+        w = solve(ct_c, h @ x.T).T
+        # H update (nmf/anls.py:34-47)
+        ct_c = w.T @ w + 2.0 * lambda_h * eye
+        h = solve(ct_c, w.T @ x)
+
+        if distance_type == "kl":
+            _, obj = kl_ratio_and_obj(x, w, h, use_pallas=use_pallas)
+        else:
+            obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
+        return (w, h), obj
+
+    return while_block(
+        step, carry, stop_i, tol1, tol2,
+        min_iter=min_iter, max_iter=max_iter, verbose=verbose,
+    )
+
+
+def anls(
+    x,
+    k: int,
+    *,
+    distance_type: str = "eu",
+    use_fcnnls: bool = False,
+    lambda_w: float = 0.0,
+    lambda_h: float = 0.0,
+    min_iter: int = 10,
+    max_iter: int = 1000,
+    tol1: float = 1e-3,
+    tol2: float = 1e-3,
+    nndsvd_init=(True, "zero"),
+    save_dir: str = "./results/",
+    # --- extensions beyond the reference surface ---
+    nnls_solver: str = "activeset",
+    w_init=None,
+    h_init=None,
+    key=None,
+    use_pallas: Optional[bool] = None,
+    verbose: bool = False,
+    block_size: Optional[int] = None,
+    on_block_end=None,
+) -> Results:
+    """NMF via alternating non-negative least squares.
+
+    Reference-compatible keyword surface (nmf/anls.py:50-52) plus
+    ``nnls_solver`` in {'activeset', 'bpp'} and the usual extensions.
+    """
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
+    if nnls_solver not in ("activeset", "bpp"):
+        raise ValueError("nnls_solver must be 'activeset' or 'bpp'")
+
+    x = jnp.asarray(x)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    experiment = AnlsExperiment(
+        method="anls",
+        components=k,
+        distance_type=distance_type,
+        nndsvd_init=nndsvd_init,
+        max_iter=max_iter,
+        tol1=tol1,
+        tol2=tol2,
+        lambda_w=lambda_w,
+        lambda_h=lambda_h,
+        fcnnls=use_fcnnls,
+    )
+
+    if w_init is not None and h_init is not None:
+        w = jnp.asarray(w_init, dtype=x.dtype)
+        h = jnp.asarray(h_init, dtype=x.dtype)
+    elif nndsvd_init[0]:
+        w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
+    else:
+        # reference uses U[0,1) for ANLS (nmf/anls.py:104-105)
+        w, h = random_init(
+            key if key is not None else jax.random.PRNGKey(0),
+            x.shape[0], x.shape[1], k, kind="uniform", dtype=x.dtype,
+        )
+
+    obj0 = distance(x, w @ h, distance_type)
+    carry = init_carry(obj0, max_iter, (w, h))
+
+    run = lambda c, stop: _anls_block(
+        x, c, stop, tol1, tol2, lambda_w, lambda_h,
+        k=k,
+        distance_type=distance_type,
+        nnls_solver=nnls_solver,
+        min_iter=min_iter,
+        max_iter=max_iter,
+        use_pallas=use_pallas,
+        verbose=verbose,
+    )
+    carry = drive(run, carry, max_iter=max_iter, block_size=block_size,
+                  on_block_end=on_block_end)
+
+    w, h = carry.inner
+    i, obj_history = finalize_history(carry)
+    return Results(
+        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        experiment=experiment,
+    )

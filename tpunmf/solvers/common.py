@@ -1,0 +1,125 @@
+"""Shared solver-driver machinery.
+
+The reference drives every solver with a sequential Python loop that
+appends to ``obj_history``, prints, and early-exits on a convergence check
+(reference: nmf/mur.py:119-143, nmf/anls.py:111-132, nmf/admm.py:292-342,
+nmf/ao_admm.py:259-308).  TPU-native redesign: each solver's whole
+iteration body is one jitted function and the loop is a
+``lax.while_loop`` whose predicate fuses the max-iteration bound, an
+optional block bound (for periodic checkpointing), and the convergence
+flag.  ``obj_history`` becomes a preallocated ``(max_iter+1,)`` buffer
+updated with a dynamic index — no host round-trips inside the loop.
+
+Blocked execution: the host driver calls the jitted loop in blocks of
+``block_size`` iterations.  With ``block_size=None`` the entire run is a
+single device dispatch; with a finite block size the host regains control
+between blocks to write checkpoints / emit metrics, while per-iteration
+convergence semantics stay identical (the predicate is evaluated every
+iteration on device either way).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.convergence import converged as _converged
+
+
+class LoopCarry(NamedTuple):
+    """Generic solver loop state.
+
+    i: number of completed iterations (reference's returned ``i`` is
+       ``carry.i - 1``, the index of the last executed iteration).
+    obj: objective after the latest iteration (obj_buf[i]).
+    converged: sticky convergence flag.
+    obj_buf: (max_iter+1,) objective trace; obj_buf[0] is the init value.
+    inner: solver-specific state pytree (factors, duals, cached ratios...).
+    """
+
+    i: jnp.ndarray
+    obj: jnp.ndarray
+    converged: jnp.ndarray
+    obj_buf: jnp.ndarray
+    inner: Any
+
+
+def init_carry(obj0, max_iter: int, inner) -> LoopCarry:
+    obj0 = jnp.asarray(obj0)
+    obj_buf = jnp.full((max_iter + 1,), jnp.nan, dtype=obj0.dtype)
+    obj_buf = obj_buf.at[0].set(obj0)
+    return LoopCarry(
+        i=jnp.asarray(0, dtype=jnp.int32),
+        obj=obj0,
+        converged=jnp.asarray(False),
+        obj_buf=obj_buf,
+        inner=inner,
+    )
+
+
+def while_block(
+    step_fn: Callable[[Any, jnp.ndarray], tuple[Any, jnp.ndarray]],
+    carry: LoopCarry,
+    stop_i,
+    tol1,
+    tol2,
+    *,
+    min_iter: int,
+    max_iter: int,
+    verbose: bool = False,
+) -> LoopCarry:
+    """Run the solver loop until stop_i / max_iter / convergence.
+
+    ``step_fn(inner, i) -> (inner, obj)`` performs one full solver
+    iteration.  Convergence semantics match the reference exactly: checked
+    only when ``i > min_iter`` (strict, nmf/mur.py:131), comparing the new
+    objective against the previous one with (tol1, tol2) per
+    nmf/utils.py:4-15, and the flag stops the loop *after* the iteration
+    that triggered it.
+    """
+    stop_i = jnp.asarray(stop_i, dtype=jnp.int32)
+
+    def cond(c: LoopCarry):
+        return jnp.logical_and(
+            c.i < jnp.minimum(stop_i, max_iter), jnp.logical_not(c.converged)
+        )
+
+    def body(c: LoopCarry):
+        inner, obj = step_fn(c.inner, c.i)
+        obj_buf = c.obj_buf.at[c.i + 1].set(obj)
+        conv = jnp.logical_and(c.i > min_iter, _converged(obj, c.obj, tol1, tol2))
+        if verbose:
+            jax.debug.print("[{i}]: {o}", i=c.i, o=obj)
+        return LoopCarry(c.i + 1, obj, conv, obj_buf, inner)
+
+    return jax.lax.while_loop(cond, body, carry)
+
+
+def drive(
+    run_block: Callable[..., LoopCarry],
+    carry: LoopCarry,
+    *,
+    max_iter: int,
+    block_size: Optional[int] = None,
+    on_block_end: Optional[Callable[[LoopCarry], None]] = None,
+) -> LoopCarry:
+    """Host-side blocked driver around a jitted ``run_block(carry, stop_i)``."""
+    block = max_iter if block_size is None else max(1, int(block_size))
+    i = 0
+    while True:
+        stop = min(i + block, max_iter)
+        carry = run_block(carry, stop)
+        i = int(carry.i)
+        if on_block_end is not None:
+            on_block_end(carry)
+        if i >= max_iter or bool(carry.converged):
+            return carry
+
+
+def finalize_history(carry: LoopCarry) -> tuple[int, list]:
+    """Convert carry to the reference's (i, obj_history) convention."""
+    completed = int(carry.i)
+    obj_history = list(np.asarray(carry.obj_buf[: completed + 1]))
+    return completed - 1, obj_history

@@ -1,0 +1,216 @@
+"""MUR — Lee-Seung multiplicative update rules, TPU-native.
+
+Behavioral contract matches the reference solver (reference: nmf/mur.py:52-146):
+same update formulas (nmf/mur.py:20-49) including the regularized KL closed
+form ``2a / (b + sqrt(b^2 + 4*lambda*a))``, the 1e-9 guards, negative-data
+elevation (nmf/mur.py:99-102), defaults, convergence semantics and the
+``Results`` record.
+
+TPU-first redesign (not a translation) — per-iteration cost drops from the
+reference's ~10 m*n*k-equivalent GEMM passes to 2 (EU) / 3 (KL) MXU passes:
+
+  * EU denominators use the Gram trick: ``(W@H)@H.T == W@(H@H.T)`` and
+    ``W.T@(W@H) == (W.T@W)@H`` — k x k Grams instead of m*n intermediates.
+  * KL's ``ones_like(x) @ h.T`` (nmf/mur.py:26) is just a broadcast row-sum
+    of H (and ``w.T @ ones`` a column-sum of W) — no m*n GEMM at all.
+  * The KL ratio ``x / (wh + 1e-9)`` for the *next* W-update is produced by
+    the same pass that evaluates the objective, so each iteration does
+    exactly three fused "GEMM + elementwise" passes over m*n data
+    (Pallas kernels on TPU; plain XLA fusion elsewhere).
+  * The whole loop body is jitted and driven by ``lax.while_loop`` with the
+    convergence predicate fused in (see solvers/common.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.losses import eu_elementwise_sum, eu_objective_gram, kl_elementwise_sum
+from ..core.types import MurExperiment, Results
+from ..init import nndsvd, random_init
+from ..ops.fused import eu_residual_obj, kl_ratio, kl_ratio_and_obj
+from .common import LoopCarry, drive, finalize_history, init_carry, while_block
+
+_EPS = 1e-9
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "distance_type",
+        "min_iter",
+        "max_iter",
+        "objective",
+        "use_pallas",
+        "verbose",
+    ),
+)
+def _mur_block(
+    x,
+    xsq,
+    carry: LoopCarry,
+    stop_i,
+    tol1,
+    tol2,
+    lambda_w,
+    lambda_h,
+    *,
+    distance_type: str,
+    min_iter: int,
+    max_iter: int,
+    objective: str,
+    use_pallas: bool,
+    verbose: bool,
+):
+    def step_eu(inner, i):
+        w, h = inner
+        gram_h = h @ h.T
+        w = w * (x @ h.T) / (w @ gram_h + lambda_w * w + _EPS)
+        wtx = w.T @ x
+        gram_w = w.T @ w
+        h = h * wtx / (gram_w @ h + lambda_h * h + _EPS)
+        if objective == "gram":
+            obj = eu_objective_gram(xsq, wtx, gram_w, h)
+        else:
+            obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
+        return (w, h), obj
+
+    def step_kl(inner, i):
+        w, h, r = inner  # r = x / (w@h + eps) from the previous trailing pass
+        a = w * (r @ h.T)
+        b = jnp.sum(h, axis=1)  # == row of ones_like(x) @ h.T (nmf/mur.py:26)
+        w = 2.0 * a / (b[None, :] + jnp.sqrt(b[None, :] ** 2 + 4.0 * lambda_w * a))
+        r2 = kl_ratio(x, w, h, eps=_EPS, use_pallas=use_pallas)
+        c = h * (w.T @ r2)
+        d = jnp.sum(w, axis=0)[:, None]  # == column of w.T @ ones_like(x)
+        h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+        r, obj = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
+        return (w, h, r), obj
+
+    step = step_kl if distance_type == "kl" else step_eu
+    return while_block(
+        step,
+        carry,
+        stop_i,
+        tol1,
+        tol2,
+        min_iter=min_iter,
+        max_iter=max_iter,
+        verbose=verbose,
+    )
+
+
+def mur(
+    x,
+    k: int,
+    *,
+    distance_type: str = "kl",
+    min_iter: int = 100,
+    max_iter: int = 100000,
+    tol1: float = 1e-5,
+    tol2: float = 1e-5,
+    lambda_w: float = 0.0,
+    lambda_h: float = 0.0,
+    nndsvd_init=(False, "zero"),
+    save_dir: str = "./results/",
+    # --- extensions beyond the reference surface ---
+    w_init=None,
+    h_init=None,
+    key=None,
+    objective: str = "exact",
+    use_pallas: Optional[bool] = None,
+    verbose: bool = False,
+    block_size: Optional[int] = None,
+    on_block_end=None,
+) -> Results:
+    """Non-negative matrix factorization via multiplicative update rules.
+
+    Reference-compatible keyword surface (nmf/mur.py:52-53) plus:
+      w_init/h_init: explicit initial factors (for parity/benchmark runs).
+      key: jax PRNG key for random init (reference used global numpy RNG).
+      objective: 'exact' (elementwise residual; robust at f32) or 'gram'
+        (Gram-trick EU objective — no extra m*n pass, use for speed).
+      use_pallas: force fused Pallas kernels on/off (default: auto on TPU).
+      block_size/on_block_end: blocked execution for checkpoint callbacks.
+    """
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
+
+    x = jnp.asarray(x)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    experiment = MurExperiment(
+        method="mur",
+        components=k,
+        distance_type=distance_type,
+        nndsvd_init=nndsvd_init,
+        max_iter=max_iter,
+        tol1=tol1,
+        tol2=tol2,
+        lambda_w=lambda_w,
+        lambda_h=lambda_h,
+    )
+
+    # data elevation for slightly-negative inputs (nmf/mur.py:99-102)
+    xmin = float(jnp.min(x))
+    if xmin < 0:
+        x = x + abs(xmin)
+
+    if w_init is not None and h_init is not None:
+        w = jnp.asarray(w_init, dtype=x.dtype)
+        h = jnp.asarray(h_init, dtype=x.dtype)
+    elif nndsvd_init[0]:
+        w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
+    else:
+        w, h = random_init(
+            key if key is not None else jax.random.PRNGKey(0),
+            x.shape[0],
+            x.shape[1],
+            k,
+            kind="abs_normal",
+            dtype=x.dtype,
+        )
+
+    xsq = jnp.sum(x * x) if (distance_type == "eu" and objective == "gram") else jnp.zeros(
+        (), dtype=x.dtype
+    )
+
+    if distance_type == "kl":
+        r0, obj0 = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
+        inner = (w, h, r0)
+    else:
+        obj0 = eu_elementwise_sum(x, w @ h)
+        inner = (w, h)
+
+    carry = init_carry(obj0, max_iter, inner)
+
+    run = lambda c, stop: _mur_block(
+        x,
+        xsq,
+        c,
+        stop,
+        tol1,
+        tol2,
+        lambda_w,
+        lambda_h,
+        distance_type=distance_type,
+        min_iter=min_iter,
+        max_iter=max_iter,
+        objective=objective,
+        use_pallas=use_pallas,
+        verbose=verbose,
+    )
+    carry = drive(
+        run, carry, max_iter=max_iter, block_size=block_size, on_block_end=on_block_end
+    )
+
+    w, h = carry.inner[0], carry.inner[1]
+    i, obj_history = finalize_history(carry)
+    return Results(
+        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history, experiment=experiment
+    )
