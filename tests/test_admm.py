@@ -1,0 +1,71 @@
+"""Golden-parity tests for full-splitting ADMM (reference: nmf/admm.py:233-345)."""
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+from tpunmf.solvers import admm
+
+from conftest import requires_reference
+
+
+def _run_reference_admm(x, k, **kw):
+    from nmf import admm as ref_admm
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        return ref_admm.admm(x.copy(), k, **kw)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "reg_w,reg_h",
+    [
+        ((0, "nn"), (0, "l2n")),     # reference defaults
+        ((0, "nn"), (0.1, "l1n")),   # the BASELINE 'L1 reg on H' config family
+        ((0.05, "l2n"), (0, "nn")),
+    ],
+)
+def test_parity_eu(lowrank_data, reg_w, reg_h):
+    kw = dict(rho=1.0, distance_type="eu", reg_w=reg_w, reg_h=reg_h,
+              min_iter=10, max_iter=80, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    ref = _run_reference_admm(lowrank_data, 5, **kw)
+    ours = admm(lowrank_data, 5, **kw)
+    assert ours.i == ref.i
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-7
+    )
+    np.testing.assert_allclose(ours.w, ref.w, rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(ours.h, ref.h, rtol=1e-5, atol=1e-8)
+
+
+@requires_reference
+def test_parity_kl(lowrank_data):
+    kw = dict(rho=1.0, distance_type="kl", reg_w=(0, "nn"), reg_h=(0, "nn"),
+              min_iter=10, max_iter=60, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    ref = _run_reference_admm(lowrank_data, 5, **kw)
+    ours = admm(lowrank_data, 5, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-6
+    )
+
+
+@requires_reference
+def test_parity_rho(lowrank_data):
+    """Non-default rho exercises the dampening path."""
+    kw = dict(rho=5.0, distance_type="eu", reg_w=(0, "nn"), reg_h=(0, "nn"),
+              min_iter=10, max_iter=50, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    ref = _run_reference_admm(lowrank_data, 5, **kw)
+    ours = admm(lowrank_data, 5, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-7
+    )
+
+
+def test_convergence_and_nonnegativity(lowrank_data):
+    res = admm(lowrank_data, 5, min_iter=10, max_iter=200, tol1=1e-6, tol2=1e-6)
+    assert res.obj_history[-1] < res.obj_history[0]
+    assert res.w.min() >= 0 and res.h.min() >= 0

@@ -1,0 +1,72 @@
+"""Golden-parity and property tests for ANLS (reference: nmf/anls.py:50-135)."""
+import contextlib
+import io
+
+import numpy as np
+import pytest
+
+from tpunmf.solvers import anls
+
+from conftest import requires_reference
+
+
+def _run_reference_anls(x, k, **kw):
+    from nmf import anls as ref_anls
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        return ref_anls.anls(x.copy(), k, **kw)
+
+
+@requires_reference
+@pytest.mark.parametrize("lambdas", [(0.0, 0.0), (0.05, 0.02)])
+def test_parity_vs_reference_scipy_path(lowrank_data, lambdas):
+    """Each half-step solves its NNLS subproblem exactly, so iterates must
+    match the reference's per-column Lawson-Hanson path."""
+    lw, lh = lambdas
+    kw = dict(min_iter=5, max_iter=25, tol1=1e-10, tol2=1e-10,
+              lambda_w=lw, lambda_h=lh, nndsvd_init=(True, "zero"))
+    ref = _run_reference_anls(lowrank_data, 5, use_fcnnls=False, **kw)
+    ours = anls(lowrank_data, 5, **kw)
+    ro, oo = np.array(ref.obj_history), np.array(ours.obj_history)
+    n = min(len(ro), len(oo))
+    np.testing.assert_allclose(oo[:n], ro[:n], rtol=1e-7)
+    np.testing.assert_allclose(ours.w, ref.w, rtol=1e-5, atol=1e-7)
+
+
+@requires_reference
+def test_parity_vs_reference_fcnnls_path(lowrank_data):
+    """The reference FCNNLS path should land on the same objective."""
+    kw = dict(min_iter=5, max_iter=20, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    ref = _run_reference_anls(lowrank_data, 5, use_fcnnls=True, **kw)
+    ours = anls(lowrank_data, 5, use_fcnnls=True, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history)[: len(ours.obj_history)],
+        rtol=1e-6,
+    )
+
+
+def test_bpp_and_activeset_agree(lowrank_data):
+    kw = dict(min_iter=5, max_iter=15, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    a = anls(lowrank_data, 5, nnls_solver="activeset", **kw)
+    b = anls(lowrank_data, 5, nnls_solver="bpp", **kw)
+    np.testing.assert_allclose(
+        np.array(a.obj_history), np.array(b.obj_history), rtol=1e-8
+    )
+
+
+def test_kl_reporting_only(lowrank_data):
+    """distance_type='kl' changes only the reported objective — the
+    factors evolve identically to the EU run (nmf/anls.py:108 quirk)."""
+    kw = dict(min_iter=5, max_iter=12, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"))
+    eu = anls(lowrank_data, 5, distance_type="eu", **kw)
+    kl = anls(lowrank_data, 5, distance_type="kl", **kw)
+    np.testing.assert_allclose(kl.w, eu.w, rtol=1e-9)
+    assert not np.allclose(kl.obj_history[-1], eu.obj_history[-1])
+
+
+def test_factors_nonnegative(lowrank_data):
+    res = anls(lowrank_data, 5, min_iter=5, max_iter=10, tol1=1e-12, tol2=1e-12)
+    assert res.w.min() >= 0 and res.h.min() >= 0

@@ -1,0 +1,67 @@
+"""Batched NNLS kernels vs scipy's Lawson-Hanson oracle (SURVEY §4.2)."""
+import numpy as np
+import pytest
+from scipy import optimize
+
+from tpunmf.nnls import masked_solve, nnls_activeset, nnls_bpp
+
+
+def _scipy_columns(c, a):
+    out = np.zeros((c.shape[1], a.shape[1]))
+    for j in range(a.shape[1]):
+        out[:, j], _ = optimize.nnls(c, a[:, j])
+    return out
+
+
+@pytest.fixture
+def problem(rng):
+    n_obs, l, p = 40, 10, 25
+    c = rng.random((n_obs, l))
+    # mix of easy (non-negative-compatible) and hard columns
+    a = c @ rng.random((l, p)) + 0.5 * rng.standard_normal((n_obs, p))
+    return c, a
+
+
+def test_masked_solve_matches_gathered(rng):
+    l, p = 6, 12
+    c = rng.random((20, l))
+    ct_c = c.T @ c + 0.1 * np.eye(l)
+    ct_a = rng.standard_normal((l, p))
+    p_set = rng.random((l, p)) > 0.4
+    out = np.asarray(masked_solve(ct_c, ct_a, p_set))
+    for j in range(p):
+        m = p_set[:, j]
+        expect = np.zeros(l)
+        if m.any():
+            expect[m] = np.linalg.solve(ct_c[np.ix_(m, m)], ct_a[m, j])
+        np.testing.assert_allclose(out[:, j], expect, rtol=1e-9, atol=1e-10)
+
+
+@pytest.mark.parametrize("solver", [nnls_activeset, nnls_bpp])
+def test_matches_scipy_nnls(problem, solver):
+    c, a = problem
+    expect = _scipy_columns(c, a)
+    got = np.asarray(solver(c.T @ c, c.T @ a))
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("solver", [nnls_activeset, nnls_bpp])
+def test_already_feasible_is_unconstrained(rng, solver):
+    """When the unconstrained solution is positive, NNLS returns it."""
+    l, p = 8, 10
+    c = rng.random((30, l)) + 0.1
+    k_true = rng.random((l, p)) + 0.5
+    a = c @ k_true
+    got = np.asarray(solver(c.T @ c, c.T @ a))
+    np.testing.assert_allclose(got, k_true, rtol=1e-7, atol=1e-9)
+
+
+def test_rank64_no_overflow(rng):
+    """The reference's cssls set-encoding overflows int64 at rank > 62
+    (nmf/fcnnls.py:28); the masked kernels must not care."""
+    l, p = 64, 8
+    c = rng.random((200, l))
+    a = rng.standard_normal((200, p))
+    got = np.asarray(nnls_activeset(c.T @ c, c.T @ a))
+    expect = _scipy_columns(c, a)
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
