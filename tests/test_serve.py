@@ -1,0 +1,51 @@
+"""Serving path: sharded top-k retrieval vs dense oracle."""
+import jax
+import numpy as np
+import pytest
+
+from tpunmf.parallel import build_mesh, nmf_shardings
+from tpunmf.serve import recall_at_k, topk_retrieval, topk_scores_dense
+
+
+@pytest.fixture
+def factors(rng):
+    b, r, n = 6, 8, 64
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    return w, h
+
+
+def test_dense_topk_matches_numpy(factors):
+    w, h = factors
+    vals, idx = topk_scores_dense(w, h, 5)
+    scores = w @ h
+    expect_idx = np.argsort(-scores, axis=1)[:, :5]
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, expect_idx, axis=1),
+        rtol=1e-9,
+    )
+
+
+def test_sharded_topk_matches_dense(factors):
+    w, h = factors
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    dense_vals, dense_idx = topk_scores_dense(w, h, 5)
+    vals, idx = topk_retrieval(mesh, w, h, 5)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(dense_vals), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(dense_idx))
+
+
+def test_sharded_topk_with_exclusions(factors, rng):
+    w, h = factors
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    exclude = rng.random((w.shape[0], h.shape[1])) < 0.3
+    vals, idx = topk_retrieval(mesh, w, h, 5, exclude=exclude)
+    excl = np.asarray(exclude)
+    for b in range(w.shape[0]):
+        assert not excl[b, np.asarray(idx)[b]].any()
+
+
+def test_recall_at_k():
+    pred = np.array([[1, 2, 3], [4, 5, 6]])
+    true = np.array([[1, 9], [4, 5]])
+    assert np.isclose(recall_at_k(pred, true), (0.5 + 1.0) / 2)

@@ -1,0 +1,11 @@
+from .loaders import flatten_stack, load_matrix
+from .synthetic import lowrank_dense, movielens_like, sparse_csr, tfidf_like
+
+__all__ = [
+    "load_matrix",
+    "flatten_stack",
+    "lowrank_dense",
+    "tfidf_like",
+    "movielens_like",
+    "sparse_csr",
+]

@@ -1,0 +1,102 @@
+"""Serving path: sharded W @ H^T scoring + distributed top-k retrieval.
+
+Absent in the reference (SURVEY §2C 'Serving path'); mandated by
+BASELINE.json: "once W, H converge, serve top-k item retrieval as a sharded
+W @ H^T scoring + approximate top-k kernel".
+
+Design: H stays column-sharded on the mesh exactly as it was during
+training (items axis).  A batch of user rows of W is scored against every
+item shard locally (one MXU gemm per shard), each shard takes a local
+``lax.top_k``, and the merge is an all-gather of the tiny
+(batch, k_per_shard) candidate sets followed by a final top-k — the
+standard two-stage exact top-k (exact as long as k <= k-per-shard, which
+holds since we use the same k both stages).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+@partial(jax.jit, static_argnames=("k",))
+def topk_scores_dense(w_batch, h, k: int):
+    """Single-device scoring + top-k: returns (values, item_indices)."""
+    scores = w_batch @ h  # (b, n)
+    return jax.lax.top_k(scores, k)
+
+
+def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
+    """Top-k item retrieval for a batch of user factors.
+
+    Args:
+      mesh: device mesh with a 'cols' axis (H column-sharded), or None for
+        the single-device path.
+      w_batch: (b, r) user factor rows (replicated).
+      h: (r, n) item factors, column-sharded over 'cols' when mesh given.
+      k: number of items to return per user.
+      exclude: optional (b, n) bool mask of items to exclude (e.g. already
+        interacted) — applied before ranking.
+
+    Returns: (values (b, k), indices (b, k)) global item indices, exact.
+    """
+    if mesh is None or "cols" not in mesh.axis_names:
+        scores = w_batch @ h
+        if exclude is not None:
+            scores = jnp.where(exclude, -jnp.inf, scores)
+        return jax.lax.top_k(scores, k)
+
+    n = h.shape[1]
+    n_shards = mesh.shape["cols"]
+    if n % n_shards:
+        raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
+    n_local = n // n_shards
+
+    def f(w_b, h_loc, excl_loc):
+        scores = w_b @ h_loc  # (b, n_local)
+        if excl_loc is not None:
+            scores = jnp.where(excl_loc, -jnp.inf, scores)
+        kk = min(k, n_local)
+        vals, idx = jax.lax.top_k(scores, kk)  # local candidates
+        offset = jax.lax.axis_index("cols") * n_local
+        idx = idx + offset
+        # gather candidates from every shard and re-rank
+        all_vals = jax.lax.all_gather(vals, "cols", axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, "cols", axis=1, tiled=True)
+        out_vals, pos = jax.lax.top_k(all_vals, k)
+        out_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return out_vals, out_idx
+
+    in_specs = (P(None, None), P(None, "cols"),
+                P(None, "cols") if exclude is not None else P())
+    if exclude is None:
+        fn = lambda w_b, h_loc: f(w_b, h_loc, None)
+        return shard_map(
+            fn, mesh=mesh, in_specs=in_specs[:2],
+            out_specs=(P(None, None), P(None, None)), check_vma=False,
+        )(w_batch, h)
+    return shard_map(
+        f, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(None, None), P(None, None)), check_vma=False,
+    )(w_batch, h, exclude)
+
+
+def recall_at_k(pred_idx, true_idx) -> float:
+    """Mean recall@k between predicted and ground-truth index sets.
+
+    pred_idx: (b, k) retrieved items; true_idx: (b, t) relevant items.
+    """
+    import numpy as np
+
+    pred = np.asarray(pred_idx)
+    true = np.asarray(true_idx)
+    hits = 0.0
+    for p_row, t_row in zip(pred, true):
+        t = set(int(i) for i in t_row if i >= 0)
+        if not t:
+            continue
+        hits += len(t.intersection(int(i) for i in p_row)) / len(t)
+    return hits / len(pred)

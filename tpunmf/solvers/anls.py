@@ -32,7 +32,13 @@ from ..core.types import AnlsExperiment, Results
 from ..init import nndsvd, random_init
 from ..nnls import nnls_activeset, nnls_bpp
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
-from .common import LoopCarry, drive, finalize_history, init_carry, while_block
+from .common import (
+    LoopCarry,
+    finalize_history,
+    init_carry,
+    run_loop,
+    while_block,
+)
 
 
 @partial(
@@ -112,6 +118,9 @@ def anls(
     verbose: bool = False,
     block_size: Optional[int] = None,
     on_block_end=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
 ) -> Results:
     """NMF via alternating non-negative least squares.
 
@@ -165,8 +174,11 @@ def anls(
         use_pallas=use_pallas,
         verbose=verbose,
     )
-    carry = drive(run, carry, max_iter=max_iter, block_size=block_size,
-                  on_block_end=on_block_end)
+    carry = run_loop(
+        run, carry, max_iter=max_iter, block_size=block_size,
+        on_block_end=on_block_end, checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
 
     w, h = carry.inner
     i, obj_history = finalize_history(carry)

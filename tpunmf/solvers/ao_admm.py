@@ -28,7 +28,13 @@ from ..core.types import AoAdmmExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
 from ..prox import prox
-from .common import LoopCarry, drive, finalize_history, init_carry, while_block
+from .common import (
+    LoopCarry,
+    finalize_history,
+    init_carry,
+    run_loop,
+    while_block,
+)
 
 _INNER_TOL = 1e-2
 
@@ -192,6 +198,9 @@ def ao_admm(
     verbose: bool = False,
     block_size: Optional[int] = None,
     on_block_end=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
 ) -> Results:
     """AO-ADMM NMF (Huang-Sidiropoulos-Liavas framework).
 
@@ -253,8 +262,11 @@ def ao_admm(
         use_pallas=use_pallas,
         verbose=verbose,
     )
-    carry = drive(run, carry, max_iter=max_iter, block_size=block_size,
-                  on_block_end=on_block_end)
+    carry = run_loop(
+        run, carry, max_iter=max_iter, block_size=block_size,
+        on_block_end=on_block_end, checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume,
+    )
 
     w, h = carry.inner[0], carry.inner[1]
     i, obj_history = finalize_history(carry)

@@ -118,6 +118,45 @@ def drive(
             return carry
 
 
+def run_loop(
+    run_block: Callable[..., LoopCarry],
+    carry: LoopCarry,
+    *,
+    max_iter: int,
+    block_size: Optional[int] = None,
+    on_block_end: Optional[Callable[[LoopCarry], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
+) -> LoopCarry:
+    """drive() plus optional checkpoint/resume.
+
+    With ``checkpoint_path`` set, the carry is saved atomically every block
+    (block size defaults to ``checkpoint_every`` or 500) and, when
+    ``resume=True`` and a checkpoint exists, restored before running — the
+    loop continues from the saved iteration with identical semantics.
+    """
+    if checkpoint_path:
+        from ..io.checkpoint import checkpoint_exists, load_state, save_state
+
+        if resume and checkpoint_exists(checkpoint_path):
+            carry = load_state(checkpoint_path, carry)
+        if block_size is None:
+            block_size = checkpoint_every or 500
+
+        user_cb = on_block_end
+
+        def on_block_end(c):
+            save_state(checkpoint_path, c)
+            if user_cb is not None:
+                user_cb(c)
+
+    return drive(
+        run_block, carry, max_iter=max_iter, block_size=block_size,
+        on_block_end=on_block_end,
+    )
+
+
 def finalize_history(carry: LoopCarry) -> tuple[int, list]:
     """Convert carry to the reference's (i, obj_history) convention."""
     completed = int(carry.i)

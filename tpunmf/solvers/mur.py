@@ -33,7 +33,13 @@ from ..core.losses import eu_elementwise_sum, eu_objective_gram, kl_elementwise_
 from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_ratio, kl_ratio_and_obj
-from .common import LoopCarry, drive, finalize_history, init_carry, while_block
+from .common import (
+    LoopCarry,
+    finalize_history,
+    init_carry,
+    run_loop,
+    while_block,
+)
 
 _EPS = 1e-9
 
@@ -126,6 +132,9 @@ def mur(
     verbose: bool = False,
     block_size: Optional[int] = None,
     on_block_end=None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
 ) -> Results:
     """Non-negative matrix factorization via multiplicative update rules.
 
@@ -205,8 +214,10 @@ def mur(
         use_pallas=use_pallas,
         verbose=verbose,
     )
-    carry = drive(
-        run, carry, max_iter=max_iter, block_size=block_size, on_block_end=on_block_end
+    carry = run_loop(
+        run, carry, max_iter=max_iter, block_size=block_size,
+        on_block_end=on_block_end, checkpoint_path=checkpoint_path,
+        checkpoint_every=checkpoint_every, resume=resume,
     )
 
     w, h = carry.inner[0], carry.inner[1]
