@@ -69,3 +69,45 @@ def test_convergence_and_nonnegativity(lowrank_data):
     res = admm(lowrank_data, 5, min_iter=10, max_iter=200, tol1=1e-6, tol2=1e-6)
     assert res.obj_history[-1] < res.obj_history[0]
     assert res.w.min() >= 0 and res.h.min() >= 0
+
+
+def test_adaptive_rho_converges_faster_or_equal(lowrank_data):
+    """Residual-balancing rho damping (the BASELINE 'rho-damped' config)
+    must remain convergent and track the fixed-rho solution quality."""
+    kw = dict(distance_type="eu", reg_w=(0, "nn"), reg_h=(0.05, "l1n"),
+              min_iter=10, max_iter=150, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    fixed = admm(lowrank_data, 5, rho=10.0, **kw)          # badly chosen rho
+    damped = admm(lowrank_data, 5, rho=10.0, rho_mode="adaptive", **kw)
+    assert damped.obj_history[-1] <= fixed.obj_history[-1] * 1.05
+    assert damped.w.min() >= 0 and damped.h.min() >= 0
+
+
+def test_adaptive_rho_checkpoint_roundtrip(tmp_path, lowrank_data):
+    """rho lives in the carried state: resume must restore it."""
+    kw = dict(distance_type="eu", rho=1.0, rho_mode="adaptive",
+              min_iter=5, max_iter=30, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"))
+    full = admm(lowrank_data, 5, **kw)
+    ck = str(tmp_path / "ck")
+
+    class Stop(Exception):
+        pass
+
+    calls = []
+
+    def cb(c):
+        calls.append(1)
+        if len(calls) == 2:
+            raise Stop
+
+    try:
+        admm(lowrank_data, 5, **kw, checkpoint_path=ck, checkpoint_every=7,
+             on_block_end=cb)
+    except Stop:
+        pass
+    resumed = admm(lowrank_data, 5, **kw, checkpoint_path=ck,
+                   checkpoint_every=7, resume=True)
+    np.testing.assert_allclose(
+        np.array(resumed.obj_history), np.array(full.obj_history), rtol=1e-10
+    )

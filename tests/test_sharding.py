@@ -83,3 +83,21 @@ def test_sharded_mur_matches_single_device(lowrank_data, distance_type):
         np.array(sharded.obj_history), np.array(single.obj_history), rtol=1e-9
     )
     np.testing.assert_allclose(sharded.w, single.w, rtol=1e-8)
+
+
+@needs_8_devices
+def test_host_local_ingestion(rng):
+    """Single-host emulation of the multi-host ingestion path: assemble a
+    globally column-sharded array from the host's column panel."""
+    from tpunmf.parallel import assemble_global_columns, host_local_column_range
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    n = 64
+    start, stop = host_local_column_range(mesh, n)
+    assert (start, stop) == (0, 64)  # one host owns everything here
+    block = rng.random((16, stop - start))
+    arr = assemble_global_columns(mesh, block, n)
+    assert arr.shape == (16, 64)
+    np.testing.assert_allclose(np.asarray(arr), block)
+    # sharded over cols
+    assert len(arr.sharding.device_set) == 8

@@ -1,4 +1,5 @@
 from .loaders import flatten_stack, load_matrix
+from .sparse_panels import PanelStream, densify
 from .synthetic import lowrank_dense, movielens_like, sparse_csr, tfidf_like
 
 __all__ = [
@@ -8,4 +9,6 @@ __all__ = [
     "tfidf_like",
     "movielens_like",
     "sparse_csr",
+    "PanelStream",
+    "densify",
 ]

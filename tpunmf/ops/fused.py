@@ -17,9 +17,9 @@ full m x n numpy temporary (nmf/mur.py:112,124, nmf/utils.py:23-26) — at
 least 4 extra HBM round-trips per iteration.  Here each pass reads X (and
 W, H) once and writes at most one m x n output.
 
-Partial objective sums are emitted per grid tile into a (grid_m, grid_n)
-buffer and reduced outside the kernel — no cross-program accumulation
-ordering assumptions.
+Objective sums accumulate into a single SMEM scalar across the grid —
+well-defined because TPU grids execute sequentially on a core (the scalar
+is zeroed by the first program).
 
 Fallback: identically-shaped jnp expressions (XLA fuses these well too;
 used on CPU, for f64 parity tests, and for shapes that don't tile).
@@ -65,10 +65,20 @@ def _tileable(x, w, h) -> tuple[int, int] | None:
 # ---------------------------------------------------------------- kernels
 
 
-def _eu_obj_kernel(x_ref, w_ref, h_ref, part_ref):
+def _first_program():
+    return jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+
+def _eu_obj_kernel(x_ref, w_ref, h_ref, acc_ref):
+    # TPU grids execute sequentially on one core, so a single SMEM scalar
+    # accumulated across programs is well-defined.
+    @pl.when(_first_program())
+    def _():
+        acc_ref[0, 0] = 0.0
+
     wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
     d = x_ref[:] - wh
-    part_ref[0, 0] = 0.5 * jnp.sum(d * d)
+    acc_ref[0, 0] += 0.5 * jnp.sum(d * d)
 
 
 def _kl_ratio_kernel(x_ref, w_ref, h_ref, r_ref, *, eps):
@@ -76,7 +86,11 @@ def _kl_ratio_kernel(x_ref, w_ref, h_ref, r_ref, *, eps):
     r_ref[:] = x_ref[:] / (wh + eps)
 
 
-def _kl_ratio_obj_kernel(x_ref, w_ref, h_ref, r_ref, part_ref, *, eps):
+def _kl_ratio_obj_kernel(x_ref, w_ref, h_ref, r_ref, acc_ref, *, eps):
+    @pl.when(_first_program())
+    def _():
+        acc_ref[0, 0] = 0.0
+
     wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
     xb = x_ref[:]
     r_ref[:] = xb / (wh + eps)
@@ -85,7 +99,7 @@ def _kl_ratio_obj_kernel(x_ref, w_ref, h_ref, r_ref, part_ref, *, eps):
     val = xb * jnp.log(xb / wh)
     val = jnp.where(val == jnp.inf, 0.0, val)
     val = jnp.where(jnp.isnan(val), 0.0, val)
-    part_ref[0, 0] = jnp.sum(val - xb + wh)
+    acc_ref[0, 0] += jnp.sum(val - xb + wh)
 
 
 def _grid_specs(m, n, k, bm, bn):
@@ -102,12 +116,12 @@ def _eu_obj_pallas(x, w, h, bm, bn, interpret=False):
     m, n = x.shape
     k = w.shape[1]
     grid, in_specs = _grid_specs(m, n, k, bm, bn)
-    parts = pl.pallas_call(
+    acc = pl.pallas_call(
         _eu_obj_kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(grid, jnp.float32),
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k + 3 * m * n,
             bytes_accessed=(m * n + m * k + k * n) * 4,
@@ -115,7 +129,7 @@ def _eu_obj_pallas(x, w, h, bm, bn, interpret=False):
         ),
         interpret=interpret,
     )(x, w, h)
-    return jnp.sum(parts)
+    return acc[0, 0]
 
 
 def _kl_ratio_pallas(x, w, h, eps, bm, bn, interpret=False):
@@ -141,17 +155,17 @@ def _kl_ratio_obj_pallas(x, w, h, eps, bm, bn, interpret=False):
     m, n = x.shape
     k = w.shape[1]
     grid, in_specs = _grid_specs(m, n, k, bm, bn)
-    r, parts = pl.pallas_call(
+    r, acc = pl.pallas_call(
         partial(_kl_ratio_obj_kernel, eps=eps),
         grid=grid,
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((m, n), jnp.float32),
-            jax.ShapeDtypeStruct(grid, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k + 6 * m * n,
@@ -160,7 +174,7 @@ def _kl_ratio_obj_pallas(x, w, h, eps, bm, bn, interpret=False):
         ),
         interpret=interpret,
     )(x, w, h)
-    return r, jnp.sum(parts)
+    return r, acc[0, 0]
 
 
 # ------------------------------------------------------------- dispatchers

@@ -1,5 +1,11 @@
 from .collectives import gram_h, gram_w, ring_xht, wtx_psum, xht_psum
 from .mesh import build_mesh, nmf_shardings, shard_problem
+from .multihost import (
+    assemble_global_columns,
+    global_mesh,
+    host_local_column_range,
+    initialize_multihost,
+)
 
 __all__ = [
     "build_mesh",
@@ -10,4 +16,8 @@ __all__ = [
     "xht_psum",
     "wtx_psum",
     "ring_xht",
+    "initialize_multihost",
+    "global_mesh",
+    "host_local_column_range",
+    "assemble_global_columns",
 ]

@@ -14,7 +14,14 @@ TPU-first notes:
     shardable collective points (SURVEY §3.4);
   * the whole iteration is one jitted ``lax.while_loop`` body via
     solvers/common.py, with the objective evaluated by the same fused
-    pass used everywhere else.
+    pass used everywhere else;
+  * ``rho_mode='adaptive'`` adds residual-balancing rho damping — the
+    capability sketched by the reference's broken local-sparsity file
+    (nmf/ao_admm_local_sparsity.py:189-218, tau=2 increase/decrease),
+    re-derived as standard Boyd §3.4.1 balancing: rho *= tau when the
+    primal residual dominates (r > mu*s), rho /= tau when the dual one
+    does, with the scaled duals rescaled by rho_old/rho_new on change.
+    rho lives in the carried state, so checkpoints resume it.
 """
 from __future__ import annotations
 
@@ -60,6 +67,7 @@ def _objective(v, w, h, distance_type, use_pallas):
         "distance_type",
         "prox_w",
         "prox_h",
+        "rho_mode",
         "min_iter",
         "max_iter",
         "use_pallas",
@@ -72,20 +80,31 @@ def _admm_block(
     stop_i,
     tol1,
     tol2,
-    rho,
     lambda_w,
     lambda_h,
+    tau,
+    mu,
     *,
     distance_type: str,
     prox_w: str,
     prox_h: str,
+    rho_mode: str,
     min_iter: int,
     max_iter: int,
     use_pallas: bool,
     verbose: bool,
 ):
+    def _balance(rho, r, sres, duals):
+        """Residual balancing: returns (rho_new, rescaled duals)."""
+        if rho_mode != "adaptive":
+            return rho, duals
+        rho_new = jnp.where(r > mu * sres, rho * tau,
+                            jnp.where(sres > mu * r, rho / tau, rho))
+        scale = rho / rho_new
+        return rho_new, tuple(d * scale for d in duals)
     def step_eu(inner, i):
-        w, h, w_aux, h_aux, dual_w, dual_h = inner
+        w, h, w_aux, h_aux, dual_w, dual_h, rho = inner
+        w_prev, h_prev = w, h
         # aux updates (nmf/admm.py:216-230,294-297)
         h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ v + rho * (h + dual_h))
         w_aux = _spd_solve(
@@ -97,11 +116,17 @@ def _admm_block(
         # dual ascent (nmf/admm.py:320-321)
         dual_h = dual_h + h - h_aux
         dual_w = dual_w + w - w_aux
+        r = jnp.sqrt(jnp.sum((h - h_aux) ** 2) + jnp.sum((w - w_aux) ** 2))
+        sres = rho * jnp.sqrt(
+            jnp.sum((h - h_prev) ** 2) + jnp.sum((w - w_prev) ** 2)
+        )
+        rho, (dual_w, dual_h) = _balance(rho, r, sres, (dual_w, dual_h))
         obj = _objective(v, w, h, "eu", use_pallas)
-        return (w, h, w_aux, h_aux, dual_w, dual_h), obj
+        return (w, h, w_aux, h_aux, dual_w, dual_h, rho), obj
 
     def step_kl(inner, i):
-        w, h, w_aux, h_aux, dual_w, dual_h, v_aux, dual_v = inner
+        w, h, w_aux, h_aux, dual_w, dual_h, v_aux, dual_v, rho = inner
+        w_prev, h_prev = w, h
         # aux updates against the split data term (nmf/admm.py:303-306)
         vd = v_aux + dual_v
         h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ vd + rho * (h + dual_h))
@@ -117,8 +142,15 @@ def _admm_block(
         dual_v = dual_v + v_aux - wh_aux
         dual_h = dual_h + h - h_aux
         dual_w = dual_w + w - w_aux
+        r = jnp.sqrt(jnp.sum((h - h_aux) ** 2) + jnp.sum((w - w_aux) ** 2))
+        sres = rho * jnp.sqrt(
+            jnp.sum((h - h_prev) ** 2) + jnp.sum((w - w_prev) ** 2)
+        )
+        rho, (dual_w, dual_h, dual_v) = _balance(
+            rho, r, sres, (dual_w, dual_h, dual_v)
+        )
         obj = _objective(v, w, h, "kl", use_pallas)
-        return (w, h, w_aux, h_aux, dual_w, dual_h, v_aux, dual_v), obj
+        return (w, h, w_aux, h_aux, dual_w, dual_h, v_aux, dual_v, rho), obj
 
     step = step_kl if distance_type == "kl" else step_eu
     return while_block(
@@ -142,6 +174,9 @@ def admm(
     nndsvd_init=(True, "zero"),
     save_dir: str = "./results/",
     # --- extensions beyond the reference surface ---
+    rho_mode: str = "fixed",
+    rho_tau: float = 2.0,
+    rho_mu: float = 10.0,
     w_init=None,
     h_init=None,
     key=None,
@@ -160,6 +195,8 @@ def admm(
     """
     if distance_type not in ("eu", "kl"):
         raise TypeError("Unknown loss type.")
+    if rho_mode not in ("fixed", "adaptive"):
+        raise ValueError("rho_mode must be 'fixed' or 'adaptive'")
 
     v = jnp.asarray(v)
     if use_pallas is None:
@@ -192,21 +229,24 @@ def admm(
             v.shape[0], v.shape[1], k, kind="abs_normal", dtype=v.dtype,
         )
 
-    # aux start as copies, duals at zero (nmf/admm.py:26-35)
+    # aux start as copies, duals at zero (nmf/admm.py:26-35); rho is
+    # carried in the state so adaptive damping survives checkpoints
+    rho0 = jnp.asarray(rho, dtype=v.dtype)
     zeros_wh = (jnp.zeros_like(w), jnp.zeros_like(h))
     if distance_type == "kl":
-        inner = (w, h, w, h, *zeros_wh, jnp.zeros_like(v), jnp.zeros_like(v))
+        inner = (w, h, w, h, *zeros_wh, jnp.zeros_like(v), jnp.zeros_like(v), rho0)
     else:
-        inner = (w, h, w, h, *zeros_wh)
+        inner = (w, h, w, h, *zeros_wh, rho0)
 
     obj0 = distance(v, w @ h, distance_type)
     carry = init_carry(obj0, max_iter, inner)
 
     run = lambda c, stop: _admm_block(
-        v, c, stop, tol1, tol2, rho, reg_w[0], reg_h[0],
+        v, c, stop, tol1, tol2, reg_w[0], reg_h[0], rho_tau, rho_mu,
         distance_type=distance_type,
         prox_w=reg_w[1],
         prox_h=reg_h[1],
+        rho_mode=rho_mode,
         min_iter=min_iter,
         max_iter=max_iter,
         use_pallas=use_pallas,
