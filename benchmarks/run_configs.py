@@ -1,0 +1,208 @@
+"""BASELINE.json config harness: golden parity + convergence quality.
+
+Runs the five BASELINE.json benchmark config families (scaled by --scale
+so the reference's numpy solvers stay tractable on CPU), comparing the
+rebuild against the reference wherever the reference can run, and records
+a JSON report.
+
+  config0  MUR Euclidean, dense synthetic, NNDSVD init       (parity)
+  config1  MUR KL, tf-idf-like term-doc matrix               (parity)
+  config2  ANLS + FCNNLS, recommender matrix + recall@10     (parity + recall)
+  config3  ADMM rho-damped, L1 on H, sparse matrix           (parity fixed-rho;
+           adaptive-rho convergence quality)
+  config4  AO-ADMM KL, mixed W/H regularizers, sharded mesh  (convergence +
+           sharded == single-device)
+
+Usage:  python benchmarks/run_configs.py [--scale 0.1] [--out report.json]
+"""
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE = "/root/reference"
+HAS_REF = os.path.isdir(os.path.join(REFERENCE, "nmf"))
+if HAS_REF:
+    sys.path.insert(0, REFERENCE)
+
+
+def rel_err(x, w, h) -> float:
+    return float(np.linalg.norm(x - w @ h) / np.linalg.norm(x))
+
+
+def run_ref(solver_fn, x, k, **kw):
+    with contextlib.redirect_stdout(io.StringIO()):
+        return solver_fn(np.array(x, dtype=np.float64), k, **kw)
+
+
+def config0_mur_eu(scale):
+    from tpunmf.data import lowrank_dense
+    from tpunmf.solvers import mur
+
+    m, n, k = max(64, int(2000 * scale)), max(48, int(1000 * scale)), 20
+    x = lowrank_dense(m, n, k, seed=0, dtype=np.float64)
+    kw = dict(distance_type="eu", min_iter=20, max_iter=500, tol1=1e-6,
+              tol2=1e-6, nndsvd_init=(True, "zero"))
+    t0 = time.perf_counter()
+    ours = mur(x, k, **kw)
+    t_ours = time.perf_counter() - t0
+    out = {"config": "MUR-EU dense", "shape": [m, n, k], "i": ours.i,
+           "rel_err": rel_err(x, ours.w, ours.h), "wall_s": round(t_ours, 2)}
+    if HAS_REF:
+        from nmf import mur as ref_mur
+
+        t0 = time.perf_counter()
+        ref = run_ref(ref_mur.mur, x, k, **kw)
+        out["ref_wall_s"] = round(time.perf_counter() - t0, 2)
+        out["ref_rel_err"] = rel_err(x, ref.w, ref.h)
+        out["final_err_deviation"] = abs(out["rel_err"] - out["ref_rel_err"]) / max(
+            out["ref_rel_err"], 1e-12)
+        out["iters_match"] = ours.i == ref.i
+    return out
+
+
+def config1_mur_kl(scale):
+    from tpunmf.data import tfidf_like
+    from tpunmf.solvers import mur
+
+    m, n, k = max(200, int(20000 * scale)), max(100, int(11000 * scale)), 50
+    k = min(k, min(m, n) // 2)
+    x = np.asarray(tfidf_like(m, n, n_topics=k, seed=1), dtype=np.float64)
+    kw = dict(distance_type="kl", min_iter=20, max_iter=300, tol1=1e-6,
+              tol2=1e-6, nndsvd_init=(True, "zero"))
+    ours = mur(x, k, **kw)
+    out = {"config": "MUR-KL tfidf", "shape": [m, n, k], "i": ours.i,
+           "final_kl": float(ours.obj_history[-1])}
+    if HAS_REF:
+        from nmf import mur as ref_mur
+
+        with np.errstate(all="ignore"):
+            ref = run_ref(ref_mur.mur, x, k, **kw)
+        out["ref_final_kl"] = float(ref.obj_history[-1])
+        out["final_err_deviation"] = abs(
+            out["final_kl"] - out["ref_final_kl"]) / max(abs(out["ref_final_kl"]), 1e-12)
+        out["iters_match"] = ours.i == ref.i
+    return out
+
+
+def config2_anls_recall(scale):
+    from tpunmf.data import movielens_like
+    from tpunmf.serve import recall_at_k, topk_scores_dense
+    from tpunmf.solvers import anls
+
+    m, n, k = max(120, int(6040 * scale)), max(80, int(3706 * scale)), 64
+    k = min(k, min(m, n) // 2)
+    x = np.asarray(movielens_like(m, n, density=0.2, seed=2), dtype=np.float64)
+    kw = dict(min_iter=5, max_iter=40, tol1=1e-6, tol2=1e-6,
+              nndsvd_init=(True, "zero"))
+    ours = anls(x, k, use_fcnnls=True, **kw)
+    out = {"config": "ANLS recommender", "shape": [m, n, k], "i": ours.i,
+           "rel_err": rel_err(x, ours.w, ours.h)}
+    if HAS_REF:
+        from nmf import anls as ref_anls
+
+        ref = run_ref(ref_anls.anls, x, k, use_fcnnls=False, **kw)
+        out["ref_rel_err"] = rel_err(x, ref.w, ref.h)
+        out["final_err_deviation"] = abs(out["rel_err"] - out["ref_rel_err"]) / max(
+            out["ref_rel_err"], 1e-12)
+        # retrieval parity: our top-10 vs the reference factors' top-10
+        _, ours_idx = topk_scores_dense(ours.w[:64], ours.h, 10)
+        _, ref_idx = topk_scores_dense(ref.w[:64], ref.h, 10)
+        out["recall10_vs_ref"] = recall_at_k(np.asarray(ours_idx),
+                                             np.asarray(ref_idx))
+    return out
+
+
+def config3_admm_sparse(scale):
+    from tpunmf.data import densify, sparse_csr
+    from tpunmf.solvers import admm
+
+    m, n, k = max(200, int(50000 * scale)), max(100, int(20000 * scale)), 128
+    k = min(k, min(m, n) // 2)
+    csr = sparse_csr(m, n, density=0.02, k=k, seed=3)
+    x = np.asarray(densify(csr), dtype=np.float64)
+    kw = dict(distance_type="eu", rho=1.0, reg_w=(0, "nn"), reg_h=(0.1, "l1n"),
+              min_iter=10, max_iter=150, tol1=1e-6, tol2=1e-6,
+              nndsvd_init=(True, "zero"))
+    fixed = admm(x, k, **kw)
+    damped = admm(x, k, rho_mode="adaptive", **kw)
+    out = {"config": "ADMM sparse L1(H)", "shape": [m, n, k],
+           "fixed": {"i": fixed.i, "rel_err": rel_err(x, fixed.w, fixed.h)},
+           "rho_damped": {"i": damped.i, "rel_err": rel_err(x, damped.w, damped.h)}}
+    if HAS_REF:
+        from nmf import admm as ref_admm
+
+        ref = run_ref(ref_admm.admm, x, k, **kw)
+        out["ref_rel_err"] = rel_err(x, ref.w, ref.h)
+        out["final_err_deviation"] = abs(
+            out["fixed"]["rel_err"] - out["ref_rel_err"]) / max(out["ref_rel_err"], 1e-12)
+    return out
+
+
+def config4_ao_admm_sharded(scale):
+    import jax
+
+    from tpunmf.data import lowrank_dense
+    from tpunmf.parallel import build_mesh, nmf_shardings
+    from tpunmf.solvers import ao_admm
+
+    m, n, k = max(128, int(10000 * scale)), max(64, int(5000 * scale)), 32
+    k = min(k, min(m, n) // 2)
+    # divisible shapes for the (2,4) mesh
+    m -= m % 2
+    n -= n % 4
+    x = lowrank_dense(m, n, k, seed=4, dtype=np.float64)
+    kw = dict(distance_type="kl", reg_w=(0.05, "l1n"), reg_h=(0.05, "l2n"),
+              min_iter=10, max_iter=60, tol1=1e-6, tol2=1e-6,
+              nndsvd_init=(True, "zero"))
+    single = ao_admm(x, k, **kw)
+    out = {"config": "AO-ADMM-KL mixed-reg", "shape": [m, n, k],
+           "i": single.i, "final_kl": float(single.obj_history[-1])}
+    if jax.device_count() >= 8:
+        import jax.numpy as jnp
+
+        mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+        xs = jax.device_put(jnp.asarray(x), nmf_shardings(mesh)["v"])
+        sharded = ao_admm(xs, k, **kw)
+        out["sharded_final_kl"] = float(sharded.obj_history[-1])
+        out["sharded_matches"] = bool(
+            np.isclose(out["sharded_final_kl"], out["final_kl"], rtol=1e-6)
+        )
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=0.1)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--configs", default="0,1,2,3,4")
+    args = ap.parse_args()
+
+    runners = [config0_mur_eu, config1_mur_kl, config2_anls_recall,
+               config3_admm_sparse, config4_ao_admm_sharded]
+    wanted = {int(c) for c in args.configs.split(",")}
+    report = {"scale": args.scale, "reference_available": HAS_REF, "configs": []}
+    for idx, fn in enumerate(runners):
+        if idx not in wanted:
+            continue
+        t0 = time.perf_counter()
+        result = fn(args.scale)
+        result["total_wall_s"] = round(time.perf_counter() - t0, 2)
+        report["configs"].append(result)
+        print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

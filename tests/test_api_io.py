@@ -69,3 +69,22 @@ def test_unknown_method_raises(lowrank_data):
     except Exception:
         raised = True
     assert raised
+
+
+def test_facade_with_mesh(lowrank_data):
+    """NMF(mesh=...) shards the data; result matches single-device."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+
+    mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+    a = _factorize_small(lowrank_data)
+    model = NMF(lowrank_data, 4, mesh=mesh)
+    params = dict(distance_type="eu", min_iter=5, max_iter=40, tol1=1e-12,
+                  tol2=1e-12, nndsvd_init=(True, "zero"))
+    with contextlib.redirect_stdout(io.StringIO()):
+        model.factorize(method="mur", **params)
+    np.testing.assert_allclose(model.w, a.w, rtol=1e-8)

@@ -54,3 +54,91 @@ def test_kl_ratio_obj_kernel_matches_fallback(rng):
     r, obj = fused._kl_ratio_obj_pallas(x, w, h, 1e-9, *tile, interpret=True)
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), rtol=1e-5)
     np.testing.assert_allclose(float(obj), float(obj_ref), rtol=1e-4)
+
+
+class TestMurFused:
+    """Fused whole-iteration MUR kernels vs the jnp formulas (interpret)."""
+
+    def _setup(self, rng, m=64, n=128, k=16):
+        import jax.numpy as jnp
+
+        x = jnp.asarray(rng.random((m, n)), dtype=jnp.float32)
+        w = jnp.asarray(rng.random((m, k)) + 0.1, dtype=jnp.float32)
+        h = jnp.asarray(rng.random((k, n)) + 0.1, dtype=jnp.float32)
+        return x, w, h
+
+    @pytest.mark.parametrize("lam", [0.0, 0.2])
+    def test_w_update_eu(self, rng, lam):
+        from tpunmf.ops.mur_fused import mur_tileable, mur_w_update
+
+        x, w, h = self._setup(rng)
+        tile = mur_tileable(x, 16)
+        assert tile is not None
+        got = mur_w_update(x, w, h, distance_type="eu", lam=lam,
+                           bm=tile[0], bn=tile[1], interpret=True)
+        expect = w * (x @ h.T) / (w @ (h @ h.T) + lam * w + 1e-9)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=2e-4)
+
+    @pytest.mark.parametrize("lam", [0.0, 0.2])
+    def test_w_update_kl(self, rng, lam):
+        import jax.numpy as jnp
+
+        from tpunmf.ops.mur_fused import mur_tileable, mur_w_update
+
+        x, w, h = self._setup(rng)
+        tile = mur_tileable(x, 16)
+        got = mur_w_update(x, w, h, distance_type="kl", lam=lam,
+                           bm=tile[0], bn=tile[1], interpret=True)
+        r = x / (w @ h + 1e-9)
+        a = w * (r @ h.T)
+        b = jnp.sum(h, axis=1)[None, :]
+        expect = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lam * a))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                                   rtol=2e-4)
+
+    def test_h_update_eu_and_wtx(self, rng):
+        from tpunmf.ops.mur_fused import mur_h_update, mur_tileable
+
+        x, w, h = self._setup(rng)
+        tile = mur_tileable(x, 16)
+        h_new, wtx = mur_h_update(x, w, h, distance_type="eu", lam=0.0,
+                                  bm=tile[0], bn=tile[1], interpret=True)
+        np.testing.assert_allclose(np.asarray(wtx), np.asarray(w.T @ x),
+                                   rtol=2e-4)
+        expect = h * (w.T @ x) / ((w.T @ w) @ h + 1e-9)
+        np.testing.assert_allclose(np.asarray(h_new), np.asarray(expect),
+                                   rtol=2e-4)
+
+    def test_h_update_kl(self, rng):
+        import jax.numpy as jnp
+
+        from tpunmf.ops.mur_fused import mur_h_update, mur_tileable
+
+        x, w, h = self._setup(rng)
+        tile = mur_tileable(x, 16)
+        h_new, _ = mur_h_update(x, w, h, distance_type="kl", lam=0.1,
+                                bm=tile[0], bn=tile[1], interpret=True)
+        r = x / (w @ h + 1e-9)
+        c = h * (w.T @ r)
+        d = jnp.sum(w, axis=0)[:, None]
+        expect = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * 0.1 * c))
+        np.testing.assert_allclose(np.asarray(h_new), np.asarray(expect),
+                                   rtol=2e-4)
+
+
+def test_kl_obj_kernel_matches_fallback(rng):
+    import jax.numpy as jnp
+
+    from tpunmf.ops import fused
+
+    m, n, k = 64, 128, 8
+    x = np.asarray(rng.random((m, n)), dtype=np.float32)
+    x[x < 0.1] = 0.0
+    x = jnp.asarray(x)
+    w = jnp.asarray(rng.random((m, k)), dtype=jnp.float32)
+    h = jnp.asarray(rng.random((k, n)), dtype=jnp.float32)
+    ref = fused.kl_obj(x, w, h, use_pallas=False)
+    tile = fused._tileable(x, w, h)
+    out = fused._kl_obj_pallas(x, w, h, *tile, interpret=True)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)

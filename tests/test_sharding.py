@@ -101,3 +101,22 @@ def test_host_local_ingestion(rng):
     np.testing.assert_allclose(np.asarray(arr), block)
     # sharded over cols
     assert len(arr.sharding.device_set) == 8
+
+
+@needs_8_devices
+def test_rank_sharding_collectives(rng):
+    """EP analog: k sharded over a 'rank' axis; reconstruction via psum and
+    Gram via all_gather match the dense results."""
+    from tpunmf.parallel import gram_h_rank, rank_shardings, wh_psum_rank
+
+    mesh = build_mesh(shape=(8,), axis_names=("rank",))
+    m, n, k = 32, 48, 16
+    w = rng.random((m, k))
+    h = rng.random((k, n))
+    sh = rank_shardings(mesh)
+    ws = jax.device_put(w, sh["w"])
+    hs = jax.device_put(h, sh["h"])
+    np.testing.assert_allclose(np.asarray(wh_psum_rank(mesh, ws, hs)), w @ h,
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gram_h_rank(mesh, hs)), h @ h.T,
+                               rtol=1e-10)

@@ -1,0 +1,53 @@
+"""Out-of-core streaming MUR vs the in-core solver: identical trajectories."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpunmf.solvers import mur
+from tpunmf.solvers.streaming import mur_streaming
+
+
+@pytest.fixture
+def sparse_problem(rng):
+    # values exactly representable in float32 so the f32 panel path and the
+    # f64 in-core path see identical inputs
+    dense = np.round(rng.random((90, 70)) * 256) / 256
+    dense[dense < 0.5] = 0.0  # ~50% zeros
+    return sp.csr_matrix(dense.astype(np.float64)), dense
+
+
+@pytest.mark.parametrize("distance_type", ["eu", "kl"])
+def test_streaming_matches_incore(sparse_problem, rng, distance_type):
+    csr, dense = sparse_problem
+    w0 = rng.random((90, 6))
+    h0 = rng.random((6, 70))
+    kw = dict(distance_type=distance_type, min_iter=3, max_iter=20,
+              tol1=1e-12, tol2=1e-12)
+    incore = mur(dense, 6, w_init=w0, h_init=h0, **kw)
+    # ragged tiles on purpose (90/32, 70/32 both non-integral)
+    streamed = mur_streaming(csr, 6, w_init=w0, h_init=h0, row_block=32,
+                             col_panel=32, dtype=np.float64, **kw)
+    np.testing.assert_allclose(
+        np.array(streamed.obj_history), np.array(incore.obj_history),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(streamed.w, incore.w, rtol=1e-7)
+    np.testing.assert_allclose(streamed.h, incore.h, rtol=1e-7)
+
+
+def test_streaming_skips_empty_panels(rng):
+    """A matrix with an all-zero column band: EU numerator passes skip
+    those panels and the result is still exact."""
+    dense = np.zeros((64, 96))
+    dense[:, :32] = np.round(rng.random((64, 32)) * 256) / 256
+    dense[:, 64:] = np.round(rng.random((64, 32)) * 256) / 256
+    csr = sp.csr_matrix(dense)
+    w0 = rng.random((64, 4))
+    h0 = rng.random((4, 96))
+    kw = dict(distance_type="eu", min_iter=2, max_iter=10, tol1=1e-12,
+              tol2=1e-12)
+    a = mur_streaming(csr, 4, w_init=w0, h_init=h0, row_block=32,
+                      col_panel=32, dtype=np.float64, **kw)
+    b = mur(dense, 4, w_init=w0, h_init=h0, **kw)
+    np.testing.assert_allclose(np.array(a.obj_history),
+                               np.array(b.obj_history), rtol=1e-8)

@@ -38,12 +38,18 @@ class NMF:
         >>> print(model.w, model.h)
     """
 
-    def __init__(self, data=None, factors=None, saving=True, param_file=None):
+    def __init__(self, data=None, factors=None, saving=True, param_file=None,
+                 mesh=None):
         self.data = data
         self.factors = factors
         self.saving = saving
         self.results = None
         self.method_params = {}
+        self.mesh = mesh
+        if mesh is not None and data is not None:
+            from .parallel import shard_problem
+
+            self.data = shard_problem(mesh, data)
 
         if param_file is not None:
             try:

@@ -86,6 +86,19 @@ def _kl_ratio_kernel(x_ref, w_ref, h_ref, r_ref, *, eps):
     r_ref[:] = x_ref[:] / (wh + eps)
 
 
+def _kl_obj_kernel(x_ref, w_ref, h_ref, acc_ref):
+    @pl.when(_first_program())
+    def _():
+        acc_ref[0, 0] = 0.0
+
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    xb = x_ref[:]
+    val = xb * jnp.log(xb / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    acc_ref[0, 0] += jnp.sum(val - xb + wh)
+
+
 def _kl_ratio_obj_kernel(x_ref, w_ref, h_ref, r_ref, acc_ref, *, eps):
     @pl.when(_first_program())
     def _():
@@ -178,6 +191,39 @@ def _kl_ratio_obj_pallas(x, w, h, eps, bm, bn, interpret=False):
 
 
 # ------------------------------------------------------------- dispatchers
+
+
+def _kl_obj_pallas(x, w, h, bm, bn, interpret=False):
+    m, n = x.shape
+    k = w.shape[1]
+    grid, in_specs = _grid_specs(m, n, k, bm, bn)
+    acc = pl.pallas_call(
+        _kl_obj_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k + 4 * m * n,
+            bytes_accessed=(m * n + m * k + k * n) * 4,
+            transcendentals=m * n,
+        ),
+        interpret=interpret,
+    )(x, w, h)
+    return acc[0, 0]
+
+
+def kl_obj(x, w, h, *, use_pallas: bool = False, interpret: bool = False):
+    """Masked KL objective alone (no ratio output) in one fused sweep."""
+    if use_pallas:
+        tile = _tileable(x, w, h)
+        if tile is not None:
+            return _kl_obj_pallas(x, w, h, *tile, interpret=interpret)
+    wh = w @ h
+    val = x * jnp.log(x / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    return jnp.sum(val - x + wh)
 
 
 def eu_residual_obj(x, w, h, *, use_pallas: bool = False, interpret: bool = False):

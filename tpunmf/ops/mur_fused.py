@@ -1,0 +1,238 @@
+"""Fully-fused MUR iteration kernels (Pallas TPU).
+
+At rank ~128 the MUR iteration is HBM-bandwidth-bound: every pass over the
+m x n data costs ~bytes(X)/BW regardless of FLOPs.  The unfused iteration
+reads X three times (X@H^T, W^T@X, objective) plus elementwise traffic;
+these kernels reduce an entire Euclidean iteration to TWO passes over X
+with every elementwise update fused into the GEMM epilogues, and the KL
+iteration to THREE passes with no m x n ratio array ever materialized:
+
+  W-kernel  (grid m/bm x n/bn, column-fastest):
+      accumulate numer_i += X_ij @ H_j^T in the output block itself;
+      on the last column step apply the multiplicative update in-register:
+      EU: W_i <- W_i * numer / (W_i Gh + lw W_i + eps)        (nmf/mur.py:29)
+      KL: numer uses the tile ratio X/(W H + eps); update via the
+          regularized closed form 2a/(b + sqrt(b^2 + 4 lw a)) (nmf/mur.py:25-27)
+
+  H-kernel  (grid n/bn x m/bm, row-fastest):
+      accumulate numer_j += W_i^T X_ij (EU) or W_i^T (X/(W H+eps))_ij (KL);
+      on the last row step emit the raw numerator (the W^T X cross-product
+      the Gram-trick objective needs) AND the updated H_j.
+
+The reference's loop body is ~10 m*n*k-equivalent GEMM passes with 4+
+m x n temporaries (nmf/mur.py:20-49,112-127); the fused iteration is
+bandwidth-optimal for EU up to the single objective pass (which the
+Gram-trick objective eliminates entirely).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused import _pick_block
+
+_EPS = 1e-9
+
+
+def mur_tileable(x, k: int):
+    """(bm, bn) tiling for the fused iteration kernels, or None."""
+    if x.dtype not in (jnp.float32,):
+        return None
+    m, n = x.shape
+    if k > 1024:
+        return None
+    bm, bn = _pick_block(m), _pick_block(n)
+    if bm is None or bn is None:
+        return None
+    while bm * bn * 4 * 2 + (bm + bn) * k * 4 * 2 > 8 * 1024 * 1024 and bm > 8:
+        bm //= 2
+        if m % bm:
+            return None
+    return bm, bn
+
+
+# ------------------------------------------------------------- W kernels
+
+
+def _w_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lam_ref, out_ref, *, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += jnp.dot(x_ref[:], h_ref[:].T,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        w = w_ref[:]
+        lam = lam_ref[0, 0]
+        denom = jnp.dot(w, gh_ref[:], preferred_element_type=jnp.float32)
+        out_ref[:] = w * out_ref[:] / (denom + lam * w + _EPS)
+
+
+def _w_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, *, nj):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    r = x_ref[:] / (wh + _EPS)
+    out_ref[:] += jnp.dot(r, h_ref[:].T, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        a = w_ref[:] * out_ref[:]
+        lam = lam_ref[0, 0]
+        b = hsum_ref[:]  # (1, k) broadcast row: ones_like(x) @ h.T
+        out_ref[:] = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lam * a))
+
+
+def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
+                 interpret: bool = False):
+    """One fused pass over X producing the updated W."""
+    m, n = x.shape
+    k = w.shape[1]
+    nj = n // bn
+    grid = (m // bm, nj)
+    x_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=(2 if distance_type == "eu" else 4) * m * n * k,
+        bytes_accessed=(m * n + 2 * m * k + k * n) * 4,
+        transcendentals=0,
+    )
+    lam_arr = jnp.reshape(jnp.asarray(lam, dtype=jnp.float32), (1, 1))
+    lam_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    if distance_type == "eu":
+        gh = h @ h.T
+        kern = functools.partial(_w_eu_kernel, nj=nj)
+        extra = (pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                 w_spec,
+                 pl.BlockSpec((k, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+        args = (x, h, w, gh, lam_arr)
+        in_specs = [x_spec, *extra, lam_spec]
+    else:
+        hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
+        kern = functools.partial(_w_kl_kernel, nj=nj)
+        extra = (pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                 w_spec,
+                 pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+        args = (x, h, w, hsum, lam_arr)
+        in_specs = [x_spec, *extra, lam_spec]
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)
+
+
+# ------------------------------------------------------------- H kernels
+
+
+def _h_eu_kernel(x_ref, w_ref, h_ref, gw_ref, lam_ref, h_out_ref, wtx_ref, *, ni):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        h_out_ref[:] = jnp.zeros_like(h_out_ref)
+
+    h_out_ref[:] += jnp.dot(w_ref[:].T, x_ref[:],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _():
+        numer = h_out_ref[:]
+        wtx_ref[:] = numer
+        h = h_ref[:]
+        lam = lam_ref[0, 0]
+        denom = jnp.dot(gw_ref[:], h, preferred_element_type=jnp.float32)
+        h_out_ref[:] = h * numer / (denom + lam * h + _EPS)
+
+
+def _h_kl_kernel(x_ref, w_ref, h_ref, wsum_ref, lam_ref, h_out_ref, wtr_ref, *, ni):
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        h_out_ref[:] = jnp.zeros_like(h_out_ref)
+
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    r = x_ref[:] / (wh + _EPS)
+    h_out_ref[:] += jnp.dot(w_ref[:].T, r, preferred_element_type=jnp.float32)
+
+    @pl.when(i == ni - 1)
+    def _():
+        numer = h_out_ref[:]
+        wtr_ref[:] = numer
+        c = h_ref[:] * numer
+        lam = lam_ref[0, 0]
+        d = wsum_ref[:]  # (k, 1) column: w.T @ ones_like(x)
+        h_out_ref[:] = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lam * c))
+
+
+def mur_h_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
+                 interpret: bool = False):
+    """One fused pass over X producing (updated H, raw numerator).
+
+    The numerator is W^T X (EU) / W^T(X/(WH+eps)) (KL) with the *updated*
+    W — for EU it feeds the free Gram-trick objective."""
+    m, n = x.shape
+    k = w.shape[1]
+    ni = m // bm
+    grid = (n // bn, ni)  # row index varies fastest
+    x_spec = pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((bm, k), lambda j, i: (i, 0), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM)
+    out_specs = (
+        pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((k, n), jnp.float32),
+        jax.ShapeDtypeStruct((k, n), jnp.float32),
+    )
+    cost = pl.CostEstimate(
+        flops=(2 if distance_type == "eu" else 4) * m * n * k,
+        bytes_accessed=(m * n + m * k + 3 * k * n) * 4,
+        transcendentals=0,
+    )
+    lam_arr = jnp.reshape(jnp.asarray(lam, dtype=jnp.float32), (1, 1))
+    lam_spec = pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM)
+    if distance_type == "eu":
+        gw = w.T @ w
+        kern = functools.partial(_h_eu_kernel, ni=ni)
+        in_specs = [x_spec, w_spec, h_spec,
+                    pl.BlockSpec((k, k), lambda j, i: (0, 0),
+                                 memory_space=pltpu.VMEM), lam_spec]
+        args = (x, w, h, gw, lam_arr)
+    else:
+        wsum = jnp.sum(w, axis=0, keepdims=True).T  # (k, 1)
+        kern = functools.partial(_h_kl_kernel, ni=ni)
+        in_specs = [x_spec, w_spec, h_spec,
+                    pl.BlockSpec((k, 1), lambda j, i: (0, 0),
+                                 memory_space=pltpu.VMEM), lam_spec]
+        args = (x, w, h, wsum, lam_arr)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(*args)

@@ -1,5 +1,13 @@
-from .collectives import gram_h, gram_w, ring_xht, wtx_psum, xht_psum
-from .mesh import build_mesh, nmf_shardings, shard_problem
+from .collectives import (
+    gram_h,
+    gram_h_rank,
+    gram_w,
+    ring_xht,
+    wh_psum_rank,
+    wtx_psum,
+    xht_psum,
+)
+from .mesh import build_mesh, nmf_shardings, rank_shardings, shard_problem
 from .multihost import (
     assemble_global_columns,
     global_mesh,
@@ -16,6 +24,9 @@ __all__ = [
     "xht_psum",
     "wtx_psum",
     "ring_xht",
+    "wh_psum_rank",
+    "gram_h_rank",
+    "rank_shardings",
     "initialize_multihost",
     "global_mesh",
     "host_local_column_range",

@@ -94,6 +94,38 @@ def wtx_psum(mesh: Mesh, w, x):
     )(w, x)
 
 
+def wh_psum_rank(mesh: Mesh, w, h):
+    """W @ H with the k (component) axis sharded over 'rank' (EP analog):
+    per-shard partial reconstructions summed with psum."""
+    if "rank" not in mesh.axis_names:
+        return w @ h
+
+    def f(w_loc, h_loc):
+        return jax.lax.psum(w_loc @ h_loc, "rank")
+
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(None, "rank"), P("rank", None)),
+        out_specs=P(None, None), check_vma=False,
+    )(w, h)
+
+
+def gram_h_rank(mesh: Mesh, h):
+    """H H^T with H row(rank)-sharded: each shard computes its diagonal
+    block's rows H_p H^T via all-gather of the small factor — yields the
+    full (k, k) Gram, rank-rows sharded then gathered."""
+    if "rank" not in mesh.axis_names:
+        return h @ h.T
+
+    def f(h_loc):
+        h_full = jax.lax.all_gather(h_loc, "rank", axis=0, tiled=True)
+        return h_loc @ h_full.T  # (k_local, k)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P("rank", None), out_specs=P("rank", None),
+        check_vma=False,
+    )(h)
+
+
 def ring_xht(mesh: Mesh, x, h):
     """X @ H^T as a ppermute ring over column panels.
 

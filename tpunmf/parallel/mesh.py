@@ -65,6 +65,26 @@ def nmf_shardings(mesh: Mesh):
     )
 
 
+def rank_shardings(mesh: Mesh):
+    """Rank-sharded ('expert-parallel' analog) layout for very large k.
+
+    Each device owns a slice of the k components: W P(None, 'rank'),
+    H P('rank', None); the reconstruction W @ H contracts over the sharded
+    rank axis (psum), while V stays replicated or row-sharded.  Useful when
+    k is large enough that replicating both factors everywhere wastes HBM
+    (SURVEY §2C 'EP').  Requires a mesh with a 'rank' axis.
+    """
+    if "rank" not in mesh.axis_names:
+        raise ValueError("rank_shardings needs a mesh with a 'rank' axis")
+    rows = "rows" if "rows" in mesh.axis_names else None
+    return dict(
+        v=NamedSharding(mesh, P(rows, None)),
+        w=NamedSharding(mesh, P(rows, "rank")),
+        h=NamedSharding(mesh, P("rank", None)),
+        replicated=NamedSharding(mesh, P()),
+    )
+
+
 def shard_problem(mesh: Mesh, v, w=None, h=None):
     """Place (v, w, h) on the mesh with the canonical layouts."""
     sh = nmf_shardings(mesh)

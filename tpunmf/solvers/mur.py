@@ -32,7 +32,8 @@ import numpy as np
 from ..core.losses import eu_elementwise_sum, eu_objective_gram, kl_elementwise_sum
 from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
-from ..ops.fused import eu_residual_obj, kl_ratio, kl_ratio_and_obj
+from ..ops.fused import eu_residual_obj, kl_obj, kl_ratio, kl_ratio_and_obj
+from ..ops.mur_fused import mur_h_update, mur_tileable, mur_w_update
 from .common import (
     LoopCarry,
     finalize_history,
@@ -52,6 +53,7 @@ _EPS = 1e-9
         "max_iter",
         "objective",
         "use_pallas",
+        "fused_tile",
         "verbose",
     ),
 )
@@ -70,8 +72,33 @@ def _mur_block(
     max_iter: int,
     objective: str,
     use_pallas: bool,
+    fused_tile,
     verbose: bool,
 ):
+    def step_eu_fused(inner, i):
+        """Whole iteration in 2 fused passes over x (+1 for exact obj)."""
+        w, h = inner
+        bm, bn = fused_tile
+        w = mur_w_update(x, w, h, distance_type="eu", lam=lambda_w, bm=bm, bn=bn)
+        h_new, wtx = mur_h_update(x, w, h, distance_type="eu", lam=lambda_h,
+                                  bm=bm, bn=bn)
+        if objective == "gram":
+            obj = eu_objective_gram(xsq, wtx, w.T @ w, h_new)
+        else:
+            obj = eu_residual_obj(x, w, h_new, use_pallas=True)
+        return (w, h_new), obj
+
+    def step_kl_fused(inner, i):
+        """KL iteration in 3 fused passes; the ratio is recomputed tile-wise
+        in-kernel, never materialized in HBM."""
+        w, h = inner
+        bm, bn = fused_tile
+        w = mur_w_update(x, w, h, distance_type="kl", lam=lambda_w, bm=bm, bn=bn)
+        h, _ = mur_h_update(x, w, h, distance_type="kl", lam=lambda_h,
+                            bm=bm, bn=bn)
+        obj = kl_obj(x, w, h, use_pallas=True)
+        return (w, h), obj
+
     def step_eu(inner, i):
         w, h = inner
         gram_h = h @ h.T
@@ -97,7 +124,10 @@ def _mur_block(
         r, obj = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
         return (w, h, r), obj
 
-    step = step_kl if distance_type == "kl" else step_eu
+    if fused_tile is not None:
+        step = step_kl_fused if distance_type == "kl" else step_eu_fused
+    else:
+        step = step_kl if distance_type == "kl" else step_eu
     return while_block(
         step,
         carry,
@@ -189,11 +219,19 @@ def mur(
         (), dtype=x.dtype
     )
 
+    # fused whole-iteration kernels (2-3 passes over x) when on TPU and
+    # the shapes tile; otherwise the jnp step (XLA-fused, any backend)
+    fused_tile = mur_tileable(x, k) if use_pallas else None
+
     if distance_type == "kl":
-        r0, obj0 = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
-        inner = (w, h, r0)
+        if fused_tile is not None:
+            obj0 = kl_obj(x, w, h, use_pallas=True)
+            inner = (w, h)
+        else:
+            r0, obj0 = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
+            inner = (w, h, r0)
     else:
-        obj0 = eu_elementwise_sum(x, w @ h)
+        obj0 = eu_residual_obj(x, w, h, use_pallas=bool(fused_tile))
         inner = (w, h)
 
     carry = init_carry(obj0, max_iter, inner)
@@ -212,6 +250,7 @@ def mur(
         max_iter=max_iter,
         objective=objective,
         use_pallas=use_pallas,
+        fused_tile=fused_tile,
         verbose=verbose,
     )
     carry = run_loop(

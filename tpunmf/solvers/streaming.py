@@ -1,0 +1,273 @@
+"""Out-of-core MUR: factorize matrices larger than device memory.
+
+The reference holds all of V as one resident ndarray — its scaling story
+is "buy more RAM" (SURVEY §5 'Long-context').  This solver streams V
+through the device as dense panels (host CSR -> native panelizer ->
+device), keeping only W, H, one panel, and k x k Grams resident:
+
+  per iteration (Euclidean):
+    G_h = H H^T                         (device, k x k)
+    numer_W = sum_j X[:, j] @ H[:, j]^T (streamed panel pass 1)
+    W <- W * numer_W / (W G_h + lw*W + eps)
+    numer_H = W^T X                     (streamed panel pass 2)
+    G_w = W^T W
+    H <- H * numer_H / (G_w H + lh*H + eps)
+    obj = 0.5*(||X||^2 - 2<H, numer_H> + tr(G_w (H H^T)))   (free)
+
+  KL needs the panel-wise ratio against W@H: two streamed numerator
+  passes plus a full-grid objective pass (all-zero panels still
+  contribute sum(wh) to the KL objective, so they can only be skipped in
+  the numerator passes, where x = 0 -> ratio = 0 exactly).
+
+Zero-padding of ragged edge tiles is exact: padded W rows / H columns are
+zero, so padded wh is zero and every padded KL cell is 0*log(0/0) -> NaN
+-> masked (same masking as nmf/utils.py:23-26), contributing nothing.
+
+Convergence semantics are identical to the in-core solvers
+(reference nmf/utils.py:4-15 via core.convergence).  The host drives the
+panel schedule; per-panel device work is jitted, and the PanelStream's
+double buffering lets densification overlap device compute.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.convergence import convergence_check
+from ..core.types import MurExperiment, Results
+from ..data.sparse_panels import PanelStream
+from ..init import random_init
+
+_EPS = 1e-9
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_xht(acc, x_panel, h_panel):
+    return acc + x_panel @ h_panel.T
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_wtx(acc, w_block, x_panel):
+    return acc + w_block.T @ x_panel
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_kl_rht(acc, x_panel, w_block, h_panel):
+    """acc += (x/(wh+eps)) @ h^T — W-update numerator contribution."""
+    r = x_panel / (w_block @ h_panel + _EPS)
+    return acc + r @ h_panel.T
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_kl_wtr(acc, x_panel, w_block, h_panel):
+    """acc += w^T (x/(wh+eps)) — H-update numerator contribution."""
+    r = x_panel / (w_block @ h_panel + _EPS)
+    return acc + w_block.T @ r
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_kl_obj(obj, x_panel, w_block, h_panel):
+    """Masked KL objective contribution of one tile (nmf/utils.py:21-26)."""
+    wh = w_block @ h_panel
+    val = x_panel * jnp.log(x_panel / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    return obj + jnp.sum(val - x_panel + wh)
+
+
+@jax.jit
+def _mur_w_update_eu(w, numer, gram_h, lambda_w):
+    return w * numer / (w @ gram_h + lambda_w * w + _EPS)
+
+
+@jax.jit
+def _mur_h_update_eu(h, numer, gram_w, lambda_h):
+    return h * numer / (gram_w @ h + lambda_h * h + _EPS)
+
+
+@jax.jit
+def _mur_w_update_kl(w, numer, h, lambda_w):
+    b = jnp.sum(h, axis=1)[None, :]
+    a = w * numer
+    return 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+
+
+@jax.jit
+def _mur_h_update_kl(h, numer, w, lambda_h):
+    d = jnp.sum(w, axis=0)[:, None]
+    c = h * numer
+    return 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+
+
+class _Panels:
+    """Panel access with zero-padded factor blocks and nnz-based skipping."""
+
+    def __init__(self, x_sparse, row_block, col_panel, skip_empty):
+        self.stream = PanelStream(x_sparse, row_block=row_block,
+                                  col_panel=col_panel)
+        self.m, self.n = self.stream.m, self.stream.n
+        self.rb, self.cb = self.stream.grid
+        self.row_block, self.col_panel = self.stream.row_block, self.stream.col_panel
+        self.buf = np.empty((self.row_block, self.col_panel), dtype=np.float32)
+        self.nonempty = {
+            (i, j)
+            for i in range(self.rb)
+            for j in range(self.cb)
+            if not skip_empty or self.stream.panel_nnz(i, j) > 0
+        }
+
+    def x(self, i, j):
+        # jnp.array (not asarray): the host buffer is reused across panels,
+        # and a zero-copy alias (possible on the CPU backend) would let the
+        # next densify clobber this panel's device view
+        return jnp.array(self.stream.panel(i, j, out=self.buf))
+
+    def rows(self, i):
+        return min(self.row_block, self.m - i * self.row_block)
+
+    def cols(self, j):
+        return min(self.col_panel, self.n - j * self.col_panel)
+
+    def w_block(self, w, i):
+        wb = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(w, ((0, self.rb * self.row_block - self.m), (0, 0))),
+            i * self.row_block, self.row_block, axis=0,
+        )
+        return wb
+
+    def h_panel(self, h, j):
+        hp = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(h, ((0, 0), (0, self.cb * self.col_panel - self.n))),
+            j * self.col_panel, self.col_panel, axis=1,
+        )
+        return hp
+
+
+def mur_streaming(
+    x_sparse,
+    k: int,
+    *,
+    distance_type: str = "eu",
+    min_iter: int = 10,
+    max_iter: int = 200,
+    tol1: float = 1e-5,
+    tol2: float = 1e-5,
+    lambda_w: float = 0.0,
+    lambda_h: float = 0.0,
+    row_block: int = 4096,
+    col_panel: int = 4096,
+    key=None,
+    w_init=None,
+    h_init=None,
+    dtype=jnp.float32,
+    skip_empty_panels: bool = True,
+    verbose: bool = False,
+) -> Results:
+    """MUR on a scipy sparse matrix streamed through the device in panels.
+
+    Same update mathematics and convergence semantics as ``mur``; designed
+    for V beyond device HBM (only W, H, one panel, and k x k Grams are
+    resident on device).
+    """
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
+
+    p = _Panels(x_sparse, row_block, col_panel, skip_empty_panels)
+    m, n = p.m, p.n
+
+    if w_init is not None and h_init is not None:
+        w = jnp.asarray(w_init, dtype=dtype)
+        h = jnp.asarray(h_init, dtype=dtype)
+    else:
+        w, h = random_init(
+            key if key is not None else jax.random.PRNGKey(0),
+            m, n, k, kind="abs_normal", dtype=dtype,
+        )
+
+    experiment = MurExperiment(
+        method="mur", components=k, distance_type=distance_type,
+        nndsvd_init=(False, "zero"), max_iter=max_iter, tol1=tol1, tol2=tol2,
+        lambda_w=lambda_w, lambda_h=lambda_h,
+    )
+
+    xsq = float(np.sum(np.asarray(x_sparse.data, dtype=np.float64) ** 2))
+
+    def streamed_xht(h, kl_with_w=None):
+        """sum_j X_panel @ h_panel^T per row block (EU), or the KL ratio
+        version when ``kl_with_w`` is the current W."""
+        blocks = []
+        for i in range(p.rb):
+            acc = jnp.zeros((p.row_block, k), dtype=dtype)
+            for j in range(p.cb):
+                if (i, j) not in p.nonempty:
+                    continue
+                if kl_with_w is None:
+                    acc = _acc_xht(acc, p.x(i, j), p.h_panel(h, j))
+                else:
+                    acc = _acc_kl_rht(acc, p.x(i, j), p.w_block(kl_with_w, i),
+                                      p.h_panel(h, j))
+            blocks.append(acc[: p.rows(i)])
+        return jnp.concatenate(blocks, axis=0)
+
+    def streamed_wtx(w, kl_with_h=None):
+        cols_out = []
+        for j in range(p.cb):
+            acc = jnp.zeros((k, p.col_panel), dtype=dtype)
+            for i in range(p.rb):
+                if (i, j) not in p.nonempty:
+                    continue
+                if kl_with_h is None:
+                    acc = _acc_wtx(acc, p.w_block(w, i), p.x(i, j))
+                else:
+                    acc = _acc_kl_wtr(acc, p.x(i, j), p.w_block(w, i),
+                                      p.h_panel(kl_with_h, j))
+            cols_out.append(acc[:, : p.cols(j)])
+        return jnp.concatenate(cols_out, axis=1)
+
+    def kl_objective(w, h):
+        obj = jnp.zeros((), dtype=dtype)
+        for i in range(p.rb):
+            for j in range(p.cb):
+                # zero panels still contribute sum(wh): full grid visit
+                obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(w, i),
+                                  p.h_panel(h, j))
+        return float(obj)
+
+    def eu_objective(wtx, gram_w, h):
+        cross = jnp.vdot(h, wtx)
+        quad = jnp.vdot(gram_w, h @ h.T)
+        return float(0.5 * (xsq - 2.0 * cross + quad))
+
+    if distance_type == "eu":
+        obj_history = [eu_objective(streamed_wtx(w), w.T @ w, h)]
+    else:
+        obj_history = [kl_objective(w, h)]
+
+    i = 0
+    for i in range(max_iter):
+        if distance_type == "eu":
+            gram_h = h @ h.T
+            w = _mur_w_update_eu(w, streamed_xht(h), gram_h, lambda_w)
+            numer_h = streamed_wtx(w)
+            gram_w = w.T @ w
+            h = _mur_h_update_eu(h, numer_h, gram_w, lambda_h)
+            obj_history.append(eu_objective(numer_h, gram_w, h))
+        else:
+            w = _mur_w_update_kl(w, streamed_xht(h, kl_with_w=w), h, lambda_w)
+            h = _mur_h_update_kl(h, streamed_wtx(w, kl_with_h=h), w, lambda_h)
+            obj_history.append(kl_objective(w, h))
+
+        if verbose:
+            print(f"[{i}]: {obj_history[-1]}")
+        if i > min_iter and convergence_check(
+            obj_history[-1], obj_history[-2], tol1, tol2
+        ):
+            break
+
+    return Results(
+        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        experiment=experiment,
+    )
