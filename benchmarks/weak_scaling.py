@@ -1,0 +1,105 @@
+"""Weak-scaling harness: iterations/sec vs device count at fixed per-device
+problem size (BASELINE.json: ">=80% weak-scaling efficiency to 2+ hosts").
+
+The item axis n grows proportionally with the 'cols' mesh size while the
+per-device column block stays constant, matching the production layout
+(V, H column-sharded; W replicated).  Efficiency(d) =
+throughput(d) / (d * throughput(1))... for weak scaling the work per
+device is constant, so efficiency(d) = t_iter(1) / t_iter(d).
+
+On real multi-chip hardware this measures ICI collectives; on the
+emulated CPU mesh it validates the harness and the sharding path
+(numbers are not hardware-meaningful there).
+
+Usage: python benchmarks/weak_scaling.py [--m 2048] [--n-per-dev 1024]
+       [--k 128] [--iters 20] [--devices 1,2,4,8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from tpunmf.parallel import build_mesh, nmf_shardings
+from tpunmf.solvers.common import init_carry
+from tpunmf.solvers.mur import _mur_block
+
+
+def measure(n_devices: int, m: int, n_per_dev: int, k: int, iters: int) -> float:
+    """Best per-iteration seconds on an n_devices 'cols' mesh."""
+    devices = jax.devices()[:n_devices]
+    mesh = build_mesh(shape=(n_devices,), axis_names=("cols",), devices=devices)
+    sh = nmf_shardings(mesh)
+    n = n_per_dev * n_devices
+
+    key = jax.random.PRNGKey(0)
+    kx, kw, kh = jax.random.split(key, 3)
+    w0 = jax.random.uniform(kw, (m, k), dtype=jnp.float32)
+    h0 = jax.device_put(
+        jax.random.uniform(kh, (k, n), dtype=jnp.float32), sh["h"])
+    x = jax.device_put(
+        jax.random.uniform(kx, (m, n), dtype=jnp.float32), sh["v"])
+    xsq = jnp.sum(x * x)
+    float(xsq)
+
+    def run(carry, stop):
+        return _mur_block(
+            x, xsq, carry, stop, 0.0, 0.0, 0.0, 0.0,
+            distance_type="eu", min_iter=iters + 1, max_iter=iters + 1,
+            objective="gram", use_pallas=False, fused_tile=None, verbose=False,
+        )
+
+    carry = init_carry(jnp.asarray(0.0, jnp.float32), iters + 1, (w0, h0))
+    float(run(carry, 2).obj)  # compile + warm
+
+    best = float("inf")
+    for _ in range(3):
+        carry = init_carry(jnp.asarray(0.0, jnp.float32), iters + 1, (w0, h0))
+        float(carry.obj)
+        t0 = time.perf_counter()
+        out = run(carry, iters)
+        float(out.obj)
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", type=int, default=2048)
+    ap.add_argument("--n-per-dev", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--devices", default=None,
+                    help="comma-separated device counts (default: 1..all pow2)")
+    args = ap.parse_args()
+
+    total = jax.device_count()
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= total]
+
+    t1 = None
+    results = []
+    for d in counts:
+        t = measure(d, args.m, args.n_per_dev, args.k, args.iters)
+        if t1 is None:
+            t1 = t
+        results.append({
+            "devices": d,
+            "t_iter_ms": round(t * 1e3, 4),
+            "weak_scaling_efficiency": round(t1 / t, 3),
+        })
+        print(json.dumps(results[-1]))
+    print(json.dumps({"summary": results}))
+
+
+if __name__ == "__main__":
+    main()

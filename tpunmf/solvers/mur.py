@@ -79,13 +79,16 @@ def _mur_block(
         """Whole iteration in 2 fused passes over x (+1 for exact obj)."""
         w, h = inner
         bm, bn = fused_tile
-        w = mur_w_update(x, w, h, distance_type="eu", lam=lambda_w, bm=bm, bn=bn)
-        h_new, wtx = mur_h_update(x, w, h, distance_type="eu", lam=lambda_h,
-                                  bm=bm, bn=bn)
-        if objective == "gram":
-            obj = eu_objective_gram(xsq, wtx, w.T @ w, h_new)
-        else:
-            obj = eu_residual_obj(x, w, h_new, use_pallas=True)
+        with jax.named_scope("mur_w_update"):
+            w = mur_w_update(x, w, h, distance_type="eu", lam=lambda_w, bm=bm, bn=bn)
+        with jax.named_scope("mur_h_update"):
+            h_new, wtx = mur_h_update(x, w, h, distance_type="eu", lam=lambda_h,
+                                      bm=bm, bn=bn)
+        with jax.named_scope("objective"):
+            if objective == "gram":
+                obj = eu_objective_gram(xsq, wtx, w.T @ w, h_new)
+            else:
+                obj = eu_residual_obj(x, w, h_new, use_pallas=True)
         return (w, h_new), obj
 
     def step_kl_fused(inner, i):
