@@ -51,3 +51,21 @@ def test_streaming_skips_empty_panels(rng):
     b = mur(dense, 4, w_init=w0, h_init=h0, **kw)
     np.testing.assert_allclose(np.array(a.obj_history),
                                np.array(b.obj_history), rtol=1e-8)
+
+
+def test_streaming_kl_zero_band(rng):
+    """KL with an all-zero column band: empty panels contribute their
+    analytic sum(WH) to the objective; trajectory still matches in-core."""
+    dense = np.zeros((64, 96))
+    dense[:, :32] = np.round(rng.random((64, 32)) * 256) / 256
+    dense[:, 64:] = np.round(rng.random((64, 32)) * 256) / 256
+    csr = sp.csr_matrix(dense)
+    w0 = rng.random((64, 4)) + 0.1
+    h0 = rng.random((4, 96)) + 0.1
+    kw = dict(distance_type="kl", min_iter=2, max_iter=12, tol1=1e-12,
+              tol2=1e-12)
+    a = mur_streaming(csr, 4, w_init=w0, h_init=h0, row_block=32,
+                      col_panel=32, dtype=np.float64, **kw)
+    b = mur(dense, 4, w_init=w0, h_init=h0, **kw)
+    np.testing.assert_allclose(np.array(a.obj_history),
+                               np.array(b.obj_history), rtol=1e-8)

@@ -76,7 +76,10 @@ def _nndsvd_from_svd(u, s, vt, x_mean, rank, variant, key=None):
     return w, h
 
 
-def nndsvd(x, rank=None, variant: str = "zero", key=None, method: str = "exact",
+_AUTO_RSVD_THRESHOLD = 4096  # beyond this, exact SVD cost/memory explodes
+
+
+def nndsvd(x, rank=None, variant: str = "zero", key=None, method: str = "auto",
            oversample: int = 10, power_iters: int = 2):
     """SVD-based NMF initialization.
 
@@ -85,13 +88,18 @@ def nndsvd(x, rank=None, variant: str = "zero", key=None, method: str = "exact",
       rank: number of components (defaults to n, like the reference).
       variant: 'zero' | 'mean' | 'random' fill for zero entries.
       key: PRNG key for the 'random' variant and randomized SVD.
-      method: 'exact' (jnp.linalg.svd) or 'randomized' (range-finder rSVD
-        for matrices too large for an exact SVD).
+      method: 'exact' (jnp.linalg.svd), 'randomized' (range-finder rSVD),
+        or 'auto' (exact up to min-dim 4096, randomized beyond — exact SVD
+        at recommender scale is the reference's scalability wall,
+        nmf/utils.py:44).
       oversample, power_iters: randomized-SVD parameters.
     """
     x = jnp.asarray(x)
     if rank is None:
         rank = x.shape[1]
+
+    if method == "auto":
+        method = "randomized" if min(x.shape) > _AUTO_RSVD_THRESHOLD else "exact"
 
     if method == "randomized":
         from .rsvd import randomized_svd

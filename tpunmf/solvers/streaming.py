@@ -228,12 +228,24 @@ def mur_streaming(
         return jnp.concatenate(cols_out, axis=1)
 
     def kl_objective(w, h):
+        """Masked KL objective.
+
+        Only nonempty tiles need their data: an all-zero tile contributes
+        exactly ``sum(wh_tile) = <colsum(W_block), rowsum(H_panel)>``
+        (the x*log and -x terms vanish, and the reference's masking zeroes
+        the 0*log(0) cells — nmf/utils.py:23-26), so empty panels cost two
+        k-vector dot products instead of a dense pass.
+        """
         obj = jnp.zeros((), dtype=dtype)
+        w_colsums = [jnp.sum(p.w_block(w, i), axis=0) for i in range(p.rb)]
+        h_rowsums = [jnp.sum(p.h_panel(h, j), axis=1) for j in range(p.cb)]
         for i in range(p.rb):
             for j in range(p.cb):
-                # zero panels still contribute sum(wh): full grid visit
-                obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(w, i),
-                                  p.h_panel(h, j))
+                if (i, j) in p.nonempty:
+                    obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(w, i),
+                                      p.h_panel(h, j))
+                else:
+                    obj = obj + jnp.dot(w_colsums[i], h_rowsums[j])
         return float(obj)
 
     def eu_objective(wtx, gram_w, h):
