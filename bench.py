@@ -46,7 +46,7 @@ def _chip_limits() -> tuple[float, float]:
     return 197e12, 819e9
 
 
-def bench_mur_eu(m=8192, n=8192, k=128, iters=50):
+def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32):
     from tpunmf.ops.mur_fused import mur_tileable
     from tpunmf.solvers.common import init_carry, while_block
     from tpunmf.solvers.mur import _mur_block
@@ -58,7 +58,8 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50):
     w0 = jax.random.uniform(kw, (m, k), dtype=jnp.float32)
     h0 = jax.random.uniform(kh, (k, n), dtype=jnp.float32)
     x = w0 @ h0 + 0.01 * jax.random.uniform(kx, (m, n), dtype=jnp.float32)
-    xsq = jnp.sum(x * x)
+    x = x.astype(data_dtype)
+    xsq = jnp.sum(x.astype(jnp.float32) ** 2)
     float(xsq)  # materialize inputs before timing
 
     fused_tile = mur_tileable(x, k) if use_pallas else None
@@ -89,8 +90,9 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50):
     assert int(out.i) == iters
     iters_per_sec = iters / best_dt
     flops_per_iter = 4 * m * n * k + 6 * (m + n) * k * k
-    # roofline: 2 passes read X (+ factor traffic); MXU does 4mnk
-    bytes_per_iter = (2 * m * n + 4 * m * k + 6 * k * n) * 4
+    # roofline: 2 passes read X (+ f32 factor traffic); MXU does 4mnk
+    xb = jnp.dtype(data_dtype).itemsize
+    bytes_per_iter = 2 * m * n * xb + (4 * m * k + 6 * k * n) * 4
     peak_flops, hbm_bw = _chip_limits()
     t_roofline = max(bytes_per_iter / hbm_bw, flops_per_iter / peak_flops)
     return {
@@ -110,6 +112,7 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50):
 
 def main():
     r = bench_mur_eu()
+    r16 = bench_mur_eu(data_dtype=jnp.bfloat16)
     print(json.dumps({
         "metric": "mur_eu_rank128_gflops_per_chip",
         "value": round(r["gflops_per_chip"], 1),
@@ -122,6 +125,11 @@ def main():
             "roofline_fraction": round(r["roofline_fraction"], 3),
             "shape": [r["m"], r["n"], r["k"]],
             "fused_kernels": r["fused"],
+            "bf16_data_mode": {
+                "iters_per_sec": round(r16["iters_per_sec"], 2),
+                "gflops_per_chip": round(r16["gflops_per_chip"], 1),
+                "roofline_fraction": round(r16["roofline_fraction"], 3),
+            },
             "device": r["device"],
             "note": "vs_baseline = fraction-of-HBM/MXU-roofline / 0.70; "
                     ">=1.0 meets the BASELINE.json 70%-of-peak target "

@@ -65,3 +65,18 @@ def test_rank64_no_overflow(rng):
     got = np.asarray(nnls_activeset(c.T @ c, c.T @ a))
     expect = _scipy_columns(c, a)
     np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+
+def test_masked_solve_chunked_matches_direct(rng, monkeypatch):
+    """The memory-capped chunked path must equal the direct batched solve."""
+    from tpunmf.nnls import activeset
+
+    l, p = 8, 37
+    c = rng.random((30, l))
+    ct_c = c.T @ c + 0.1 * np.eye(l)
+    ct_a = rng.standard_normal((l, p))
+    p_set = rng.random((l, p)) > 0.4
+    direct = np.asarray(activeset.masked_solve(ct_c, ct_a, p_set))
+    monkeypatch.setattr(activeset, "_MASKED_SOLVE_BYTES_BUDGET", 8 * 8 * 8 * 5)
+    chunked = np.asarray(activeset.masked_solve(ct_c, ct_a, p_set))
+    np.testing.assert_allclose(chunked, direct, rtol=1e-10, atol=1e-12)

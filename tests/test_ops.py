@@ -142,3 +142,23 @@ def test_kl_obj_kernel_matches_fallback(rng):
     tile = fused._tileable(x, w, h)
     out = fused._kl_obj_pallas(x, w, h, *tile, interpret=True)
     np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
+
+
+def test_mur_fused_bf16_data(rng):
+    """bf16 X storage with f32 factors: fused W update stays close to the
+    f32 computation (data-precision-level tolerance)."""
+    import jax.numpy as jnp
+
+    from tpunmf.ops.mur_fused import mur_tileable, mur_w_update
+
+    m, n, k = 64, 128, 16
+    x32 = jnp.asarray(rng.random((m, n)), dtype=jnp.float32)
+    w = jnp.asarray(rng.random((m, k)) + 0.1, dtype=jnp.float32)
+    h = jnp.asarray(rng.random((k, n)) + 0.1, dtype=jnp.float32)
+    x16 = x32.astype(jnp.bfloat16)
+    tile = mur_tileable(x16, k)
+    assert tile is not None
+    got = mur_w_update(x16, w, h, distance_type="eu", lam=0.0,
+                       bm=tile[0], bn=tile[1], interpret=True)
+    expect = w * (x32 @ h.T) / (w @ (h @ h.T) + 1e-9)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=0.05)

@@ -35,6 +35,20 @@ import jax
 import jax.numpy as jnp
 
 
+# cap on the (p, l, l) batched-system temporary built per solve
+_MASKED_SOLVE_BYTES_BUDGET = 512 * 1024 * 1024
+
+
+def _masked_solve_block(ct_c, ct_a_t, m):
+    """(chunk, l) rhs/masks -> (chunk, l) solutions."""
+    dtype = ct_a_t.dtype
+    pair = m[:, :, None] * m[:, None, :]           # (chunk, l, l)
+    eye = jnp.eye(ct_c.shape[0], dtype=dtype)
+    mats = ct_c[None, :, :] * pair + eye[None, :, :] * (1.0 - m)[:, :, None]
+    rhs = (ct_a_t * m)[:, :, None]
+    return jnp.linalg.solve(mats, rhs)[:, :, 0]
+
+
 def masked_solve(ct_c, ct_a, p_set):
     """Batched solve of per-column passive-set subsystems.
 
@@ -42,20 +56,34 @@ def masked_solve(ct_c, ct_a, p_set):
     ``(CtC ⊙ m m^T + diag(~m)) k_j = CtA_j ⊙ m``.
     Rows outside the passive set reduce to ``1 * k_i = 0``, so k_i == 0
     exactly — equivalent to the reference's gathered subsystem solves
-    (nmf/fcnnls.py:38-50) but fixed-shape and batched.
+    (nmf/fcnnls.py:38-50) but fixed-shape and batched.  When the batched
+    (p, l, l) systems would exceed a fixed memory budget the columns are
+    processed in sequential chunks via ``lax.map``.
 
     Args:
       ct_c: (l, l); ct_a: (l, p); p_set: (l, p) bool.
     Returns: (l, p) solution with zeros outside the passive sets.
     """
     dtype = ct_a.dtype
+    l, p = ct_a.shape
     m = p_set.T.astype(dtype)                      # (p, l)
-    pair = m[:, :, None] * m[:, None, :]           # (p, l, l)
-    eye = jnp.eye(ct_c.shape[0], dtype=dtype)
-    mats = ct_c[None, :, :] * pair + eye[None, :, :] * (1.0 - m)[:, :, None]
-    rhs = (ct_a.T * m)[:, :, None]                 # (p, l, 1)
-    sol = jnp.linalg.solve(mats, rhs)[:, :, 0]     # (p, l)
-    return sol.T
+    ct_a_t = ct_a.T                                # (p, l)
+
+    bytes_needed = p * l * l * jnp.dtype(dtype).itemsize
+    if bytes_needed <= _MASKED_SOLVE_BYTES_BUDGET:
+        return _masked_solve_block(ct_c, ct_a_t, m).T
+
+    chunk = max(1, _MASKED_SOLVE_BYTES_BUDGET // (l * l * jnp.dtype(dtype).itemsize))
+    pad = (-p) % chunk
+    if pad:
+        ct_a_t = jnp.pad(ct_a_t, ((0, pad), (0, 0)))
+        m = jnp.pad(m, ((0, pad), (0, 0)))
+    nb = ct_a_t.shape[0] // chunk
+    sol = jax.lax.map(
+        lambda args: _masked_solve_block(ct_c, *args),
+        (ct_a_t.reshape(nb, chunk, l), m.reshape(nb, chunk, l)),
+    ).reshape(nb * chunk, l)
+    return sol[:p].T
 
 
 def _one_hot_cols(idx, l):

@@ -39,16 +39,20 @@ _EPS = 1e-9
 
 
 def mur_tileable(x, k: int):
-    """(bm, bn) tiling for the fused iteration kernels, or None."""
-    if x.dtype not in (jnp.float32,):
+    """(bm, bn) tiling for the fused iteration kernels, or None.
+
+    X may be float32 or bfloat16 (bf16 data halves bytes/pass — the
+    binding roofline term at rank ~128); the factors stay float32."""
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
         return None
+    xb = x.dtype.itemsize
     m, n = x.shape
     if k > 1024:
         return None
     bm, bn = _pick_block(m), _pick_block(n)
     if bm is None or bn is None:
         return None
-    while bm * bn * 4 * 2 + (bm + bn) * k * 4 * 2 > 8 * 1024 * 1024 and bm > 8:
+    while bm * bn * xb * 2 + (bm + bn) * k * 4 * 2 > 8 * 1024 * 1024 and bm > 8:
         bm //= 2
         if m % bm:
             return None
@@ -65,8 +69,9 @@ def _w_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lam_ref, out_ref, *, nj):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    out_ref[:] += jnp.dot(x_ref[:], h_ref[:].T,
-                          preferred_element_type=jnp.float32)
+    xb = x_ref[:]
+    h_t = h_ref[:].T.astype(xb.dtype)
+    out_ref[:] += jnp.dot(xb, h_t, preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
     def _():
@@ -84,7 +89,7 @@ def _w_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, *, nj):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
-    r = x_ref[:] / (wh + _EPS)
+    r = x_ref[:].astype(jnp.float32) / (wh + _EPS)
     out_ref[:] += jnp.dot(r, h_ref[:].T, preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -150,7 +155,8 @@ def _h_eu_kernel(x_ref, w_ref, h_ref, gw_ref, lam_ref, h_out_ref, wtx_ref, *, ni
     def _():
         h_out_ref[:] = jnp.zeros_like(h_out_ref)
 
-    h_out_ref[:] += jnp.dot(w_ref[:].T, x_ref[:],
+    xb = x_ref[:]
+    h_out_ref[:] += jnp.dot(w_ref[:].T.astype(xb.dtype), xb,
                             preferred_element_type=jnp.float32)
 
     @pl.when(i == ni - 1)
@@ -171,7 +177,7 @@ def _h_kl_kernel(x_ref, w_ref, h_ref, wsum_ref, lam_ref, h_out_ref, wtr_ref, *, 
         h_out_ref[:] = jnp.zeros_like(h_out_ref)
 
     wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
-    r = x_ref[:] / (wh + _EPS)
+    r = x_ref[:].astype(jnp.float32) / (wh + _EPS)
     h_out_ref[:] += jnp.dot(w_ref[:].T, r, preferred_element_type=jnp.float32)
 
     @pl.when(i == ni - 1)

@@ -161,6 +161,7 @@ def mur(
     h_init=None,
     key=None,
     objective: str = "exact",
+    data_dtype=None,
     use_pallas: Optional[bool] = None,
     verbose: bool = False,
     block_size: Optional[int] = None,
@@ -176,6 +177,8 @@ def mur(
       key: jax PRNG key for random init (reference used global numpy RNG).
       objective: 'exact' (elementwise residual; robust at f32) or 'gram'
         (Gram-trick EU objective — no extra m*n pass, use for speed).
+      data_dtype: optional storage dtype for x (e.g. jnp.bfloat16 — halves
+        HBM traffic per pass; factors stay float32).
       use_pallas: force fused Pallas kernels on/off (default: auto on TPU).
       block_size/on_block_end: blocked execution for checkpoint callbacks.
     """
@@ -202,12 +205,15 @@ def mur(
     xmin = float(jnp.min(x))
     if xmin < 0:
         x = x + abs(xmin)
+    if data_dtype is not None:
+        x = x.astype(data_dtype)
+    factor_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
 
     if w_init is not None and h_init is not None:
-        w = jnp.asarray(w_init, dtype=x.dtype)
-        h = jnp.asarray(h_init, dtype=x.dtype)
+        w = jnp.asarray(w_init, dtype=factor_dtype)
+        h = jnp.asarray(h_init, dtype=factor_dtype)
     elif nndsvd_init[0]:
-        w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
+        w, h = nndsvd(x.astype(factor_dtype), k, variant=nndsvd_init[1], key=key)
     else:
         w, h = random_init(
             key if key is not None else jax.random.PRNGKey(0),
@@ -215,7 +221,7 @@ def mur(
             x.shape[1],
             k,
             kind="abs_normal",
-            dtype=x.dtype,
+            dtype=factor_dtype,
         )
 
     xsq = jnp.sum(x * x) if (distance_type == "eu" and objective == "gram") else jnp.zeros(
