@@ -111,3 +111,20 @@ def test_blocked_execution_matches_single_dispatch(lowrank_data):
     assert a.i == b.i
     np.testing.assert_allclose(np.array(a.obj_history), np.array(b.obj_history))
     np.testing.assert_allclose(a.w, b.w)
+
+
+def test_bf16_data_mode(lowrank_data, rng):
+    """bf16 X storage with f32 factors: converges and tracks the f32 run at
+    data-precision tolerance."""
+    import jax.numpy as jnp
+
+    w0 = rng.random((60, 5))
+    h0 = rng.random((5, 48))
+    kw = dict(distance_type="eu", min_iter=3, max_iter=30, tol1=1e-12,
+              tol2=1e-12, w_init=w0, h_init=h0)
+    f32 = mur(lowrank_data.astype(np.float32), 5, **kw)
+    b16 = mur(lowrank_data.astype(np.float32), 5, data_dtype=jnp.bfloat16, **kw)
+    assert b16.w.dtype == np.float32  # factors stay f32
+    rel = np.linalg.norm(b16.w - f32.w) / np.linalg.norm(f32.w)
+    assert rel < 0.05
+    assert b16.obj_history[-1] < b16.obj_history[0]
