@@ -49,7 +49,10 @@ def mur_tileable(x, k: int):
     m, n = x.shape
     if k > 1024:
         return None
-    bm, bn = _pick_block(m), _pick_block(n)
+    # (256, 1024) measured marginally best on v5e (docs/PERF.md sweep);
+    # fall back to the largest dividing block
+    bm = 256 if m % 256 == 0 else _pick_block(m)
+    bn = 1024 if n % 1024 == 0 else _pick_block(n)
     if bm is None or bn is None:
         return None
     while bm * bn * xb * 2 + (bm + bn) * k * 4 * 2 > 8 * 1024 * 1024 and bm > 8:
