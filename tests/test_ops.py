@@ -162,3 +162,29 @@ def test_mur_fused_bf16_data(rng):
                        bm=tile[0], bn=tile[1], interpret=True)
     expect = w * (x32 @ h.T) / (w @ (h @ h.T) + 1e-9)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=0.05)
+
+
+def test_w_update_kl_lagged_obj(rng):
+    """The lagged-objective KL W-pass returns KL(x, w@h) of the incoming
+    factors alongside the same updated W."""
+    import jax.numpy as jnp
+
+    from tpunmf.ops import fused
+    from tpunmf.ops.mur_fused import mur_tileable, mur_w_update
+
+    m, n, k = 64, 128, 16
+    x = np.asarray(rng.random((m, n)), dtype=np.float32)
+    x[x < 0.1] = 0.0
+    x = jnp.asarray(x)
+    w = jnp.asarray(rng.random((m, k)) + 0.1, dtype=jnp.float32)
+    h = jnp.asarray(rng.random((k, n)) + 0.1, dtype=jnp.float32)
+    tile = mur_tileable(x, k)
+    plain = mur_w_update(x, w, h, distance_type="kl", lam=0.0,
+                         bm=tile[0], bn=tile[1], interpret=True)
+    lagged_w, obj = mur_w_update(x, w, h, distance_type="kl", lam=0.0,
+                                 bm=tile[0], bn=tile[1],
+                                 with_lagged_obj=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(lagged_w), np.asarray(plain),
+                               rtol=1e-6)
+    ref_obj = fused.kl_obj(x, w, h, use_pallas=False)
+    np.testing.assert_allclose(float(obj), float(ref_obj), rtol=1e-4)

@@ -103,9 +103,47 @@ def _w_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, *, nj):
         out_ref[:] = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lam * a))
 
 
+def _w_kl_obj_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, acc_ref,
+                     *, nj):
+    """KL W-update pass that also emits KL(x, w@h) for the INCOMING
+    (w, h) — the 'lagged' objective: the wh tiles are already formed for
+    the ratio, so the objective of the previous iterate costs nothing."""
+    j = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, j == 0))
+    def _():
+        acc_ref[0, 0] = 0.0
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    wh = jnp.dot(w_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+    xb = x_ref[:].astype(jnp.float32)
+    r = xb / (wh + _EPS)
+    out_ref[:] += jnp.dot(r, h_ref[:].T, preferred_element_type=jnp.float32)
+
+    # masked KL of the incoming iterate (nmf/utils.py:23-26 semantics)
+    val = xb * jnp.log(xb / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    acc_ref[0, 0] += jnp.sum(val - xb + wh)
+
+    @pl.when(j == nj - 1)
+    def _():
+        a = w_ref[:] * out_ref[:]
+        lam = lam_ref[0, 0]
+        b = hsum_ref[:]
+        out_ref[:] = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lam * a))
+
+
 def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
-                 interpret: bool = False):
-    """One fused pass over X producing the updated W."""
+                 with_lagged_obj: bool = False, interpret: bool = False):
+    """One fused pass over X producing the updated W.
+
+    With ``with_lagged_obj`` (KL only) also returns KL(x, w@h) of the
+    INCOMING factors — free, since the pass forms those wh tiles anyway.
+    """
     m, n = x.shape
     k = w.shape[1]
     nj = n // bn
@@ -116,11 +154,13 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
     cost = pl.CostEstimate(
         flops=(2 if distance_type == "eu" else 4) * m * n * k,
         bytes_accessed=(m * n + 2 * m * k + k * n) * 4,
-        transcendentals=0,
+        transcendentals=m * n if with_lagged_obj else 0,
     )
     lam_arr = jnp.reshape(jnp.asarray(lam, dtype=jnp.float32), (1, 1))
     lam_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     if distance_type == "eu":
+        if with_lagged_obj:
+            raise ValueError("lagged objective is a KL-only mode")
         gh = h @ h.T
         kern = functools.partial(_w_eu_kernel, nj=nj)
         extra = (pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
@@ -130,12 +170,32 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
         in_specs = [x_spec, *extra, lam_spec]
     else:
         hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
-        kern = functools.partial(_w_kl_kernel, nj=nj)
+        kern = functools.partial(
+            _w_kl_obj_kernel if with_lagged_obj else _w_kl_kernel, nj=nj
+        )
         extra = (pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
                  w_spec,
                  pl.BlockSpec((1, k), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
         args = (x, h, w, hsum, lam_arr)
         in_specs = [x_spec, *extra, lam_spec]
+
+    if with_lagged_obj:
+        w_new, acc = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=(
+                out_spec,
+                pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((m, k), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+        return w_new, acc[0, 0]
 
     return pl.pallas_call(
         kern,

@@ -92,10 +92,22 @@ def _mur_block(
         return (w, h_new), obj
 
     def step_kl_fused(inner, i):
-        """KL iteration in 3 fused passes; the ratio is recomputed tile-wise
-        in-kernel, never materialized in HBM."""
+        """KL iteration in 3 fused passes (2 with the lagged objective);
+        the ratio is recomputed tile-wise in-kernel, never materialized.
+
+        objective='lagged': the W-pass emits KL of the incoming iterate for
+        free, so the trailing objective pass is dropped — the recorded
+        objective (and hence the convergence stop) lags one iteration.
+        """
         w, h = inner
         bm, bn = fused_tile
+        if objective == "lagged":
+            w, obj_prev = mur_w_update(x, w, h, distance_type="kl",
+                                       lam=lambda_w, bm=bm, bn=bn,
+                                       with_lagged_obj=True)
+            h, _ = mur_h_update(x, w, h, distance_type="kl", lam=lambda_h,
+                                bm=bm, bn=bn)
+            return (w, h), obj_prev
         w = mur_w_update(x, w, h, distance_type="kl", lam=lambda_w, bm=bm, bn=bn)
         h, _ = mur_h_update(x, w, h, distance_type="kl", lam=lambda_h,
                             bm=bm, bn=bn)
