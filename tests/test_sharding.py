@@ -120,3 +120,24 @@ def test_rank_sharding_collectives(rng):
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(gram_h_rank(mesh, hs)), h @ h.T,
                                rtol=1e-10)
+
+
+@needs_8_devices
+@pytest.mark.parametrize("solver_name", ["admm", "anls", "ao_admm"])
+def test_sharded_solvers_match_single_device(lowrank_data, solver_name):
+    """GSPMD path for the remaining solver families."""
+    from tpunmf import solvers
+
+    solver = getattr(solvers, solver_name)
+    kw = dict(min_iter=3, max_iter=12, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"))
+    single = solver(lowrank_data, 5, **kw)
+
+    mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+    xs = jax.device_put(jnp.asarray(lowrank_data), nmf_shardings(mesh)["v"])
+    sharded = solver(xs, 5, **kw)
+    assert sharded.i == single.i
+    np.testing.assert_allclose(
+        np.array(sharded.obj_history), np.array(single.obj_history), rtol=1e-8
+    )
+    np.testing.assert_allclose(sharded.w, single.w, rtol=1e-7, atol=1e-10)

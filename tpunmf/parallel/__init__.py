@@ -10,6 +10,7 @@ from .collectives import (
 from .mesh import build_mesh, nmf_shardings, rank_shardings, shard_problem
 from .multihost import (
     assemble_global_columns,
+    assert_collective_consistency,
     global_mesh,
     host_local_column_range,
     initialize_multihost,
@@ -31,4 +32,5 @@ __all__ = [
     "global_mesh",
     "host_local_column_range",
     "assemble_global_columns",
+    "assert_collective_consistency",
 ]

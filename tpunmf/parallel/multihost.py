@@ -36,6 +36,30 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     )
 
 
+def assert_collective_consistency(value, *, rtol: float = 0.0) -> None:
+    """Assert every host computed the same (replicated) scalar.
+
+    The multi-host analog of a race detector for this workload (SURVEY §5):
+    any divergence in collective results or nondeterministic reduction
+    shows up as hosts disagreeing on the global objective.  No-op guard on
+    single-process runs.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    gathered = np.asarray(multihost_utils.process_allgather(
+        jax.numpy.asarray(value)))
+    ref = gathered.reshape(jax.process_count(), -1)[0]
+    for p in range(1, jax.process_count()):
+        other = gathered.reshape(jax.process_count(), -1)[p]
+        if not np.allclose(ref, other, rtol=rtol, atol=0.0):
+            raise AssertionError(
+                f"host 0 and host {p} disagree on collective value: "
+                f"{ref} vs {other}"
+            )
+
+
 def global_mesh(shape: Optional[Sequence[int]] = None,
                 axis_names: Sequence[str] = ("rows", "cols")) -> Mesh:
     """Mesh over ALL devices across hosts (jax.devices() is global)."""
