@@ -40,13 +40,23 @@ _MASKED_SOLVE_BYTES_BUDGET = 512 * 1024 * 1024
 
 
 def _masked_solve_block(ct_c, ct_a_t, m):
-    """(chunk, l) rhs/masks -> (chunk, l) solutions."""
+    """(chunk, l) rhs/masks -> (chunk, l) solutions.
+
+    Each masked system is SPD (principal submatrix of an SPD Gram plus
+    identity padding), so batched Cholesky applies — faster than LU and
+    more robust on TPU backends.
+    """
     dtype = ct_a_t.dtype
     pair = m[:, :, None] * m[:, None, :]           # (chunk, l, l)
     eye = jnp.eye(ct_c.shape[0], dtype=dtype)
     mats = ct_c[None, :, :] * pair + eye[None, :, :] * (1.0 - m)[:, :, None]
     rhs = (ct_a_t * m)[:, :, None]
-    return jnp.linalg.solve(mats, rhs)[:, :, 0]
+    chol = jnp.linalg.cholesky(mats)
+    sol = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+    sol = jax.scipy.linalg.solve_triangular(
+        chol, sol, lower=True, trans="T"
+    )
+    return sol[:, :, 0]
 
 
 def masked_solve(ct_c, ct_a, p_set):
