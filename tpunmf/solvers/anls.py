@@ -134,7 +134,10 @@ def anls(
 
     x = jnp.asarray(x)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Pallas objective kernels inside this solver's nested while_loops
+        # (nnls loops) fault the TPU runtime (Mosaic/XLA interaction,
+        # see docs/PERF.md); the XLA objective is near-equivalent here.
+        use_pallas = False
 
     experiment = AnlsExperiment(
         method="anls",

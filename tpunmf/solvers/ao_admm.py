@@ -212,7 +212,10 @@ def ao_admm(
 
     v = jnp.asarray(v)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Pallas objective kernels inside this solver's nested while_loops
+        # (inner ADMM loops) fault the TPU runtime (Mosaic/XLA interaction,
+        # see docs/PERF.md); the XLA objective is near-equivalent here.
+        use_pallas = False
 
     experiment = AoAdmmExperiment(
         method="ao_admm",
