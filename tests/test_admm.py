@@ -111,3 +111,37 @@ def test_adaptive_rho_checkpoint_roundtrip(tmp_path, lowrank_data):
     np.testing.assert_allclose(
         np.array(resumed.obj_history), np.array(full.obj_history), rtol=1e-10
     )
+
+
+@requires_reference
+def test_parity_l1inf_on_h(lowrank_data):
+    """The l1,inf 'local sparsity' prox in the live solver loop
+    (nmf/admm.py:158-183) — the water-filling arithmetic must match inside
+    full ADMM, not just in isolation."""
+    kw = dict(rho=1.5, distance_type="eu", reg_w=(0, "nn"),
+              reg_h=(0.2, "l1inf"), min_iter=5, max_iter=25, tol1=1e-10,
+              tol2=1e-10, nndsvd_init=(True, "zero"))
+    ref = _run_reference_admm(lowrank_data, 4, **kw)
+    ours = admm(lowrank_data, 4, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-6
+    )
+
+
+@requires_reference
+def test_parity_kl_with_l2n(lowrank_data):
+    kw = dict(rho=1.0, distance_type="kl", reg_w=(0, "nn"),
+              reg_h=(0.05, "l2n"), min_iter=5, max_iter=40, tol1=1e-10,
+              tol2=1e-10, nndsvd_init=(True, "zero"))
+    ref = _run_reference_admm(lowrank_data, 5, **kw)
+    ours = admm(lowrank_data, 5, **kw)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-6
+    )
+
+
+def test_bad_rho_mode_raises(lowrank_data):
+    import pytest
+
+    with pytest.raises(ValueError, match="rho_mode"):
+        admm(lowrank_data, 4, rho_mode="bogus")

@@ -70,3 +70,19 @@ def test_kl_reporting_only(lowrank_data):
 def test_factors_nonnegative(lowrank_data):
     res = anls(lowrank_data, 5, min_iter=5, max_iter=10, tol1=1e-12, tol2=1e-12)
     assert res.w.min() >= 0 and res.h.min() >= 0
+
+
+def test_objective_monotone_nonincreasing(lowrank_data):
+    """Each ANLS half-step solves its subproblem exactly, so the EU
+    objective never increases."""
+    res = anls(lowrank_data, 5, min_iter=3, max_iter=25, tol1=1e-14,
+               tol2=1e-14, nndsvd_init=(True, "zero"))
+    hist = np.array(res.obj_history)
+    assert np.all(np.diff(hist) <= 1e-9 * np.maximum(hist[:-1], 1.0))
+
+
+def test_bad_nnls_solver_raises(lowrank_data):
+    import pytest
+
+    with pytest.raises(ValueError, match="nnls_solver"):
+        anls(lowrank_data, 4, nnls_solver="bogus")

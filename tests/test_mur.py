@@ -128,3 +128,23 @@ def test_bf16_data_mode(lowrank_data, rng):
     rel = np.linalg.norm(b16.w - f32.w) / np.linalg.norm(f32.w)
     assert rel < 0.05
     assert b16.obj_history[-1] < b16.obj_history[0]
+
+
+@requires_reference
+def test_random_init_parity_via_replayed_rng(lowrank_data):
+    """Random-init path: replay the reference's global-RNG draws
+    (nmf/mur.py:108-109) and feed the same arrays as explicit inits."""
+    np.random.seed(1234)
+    w0 = np.abs(np.random.randn(60, 5))
+    h0 = np.abs(np.random.randn(5, 48))
+
+    np.random.seed(1234)
+    ref = _run_reference_mur(
+        lowrank_data, 5, distance_type="eu", min_iter=5, max_iter=60,
+        tol1=1e-10, tol2=1e-10, nndsvd_init=(False, "zero"),
+    )
+    ours = mur(lowrank_data, 5, distance_type="eu", min_iter=5, max_iter=60,
+               tol1=1e-10, tol2=1e-10, w_init=w0, h_init=h0)
+    np.testing.assert_allclose(
+        np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-9
+    )
