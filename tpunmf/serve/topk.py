@@ -29,33 +29,16 @@ def topk_scores_dense(w_batch, h, k: int):
     return jax.lax.top_k(scores, k)
 
 
-def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
-    """Top-k item retrieval for a batch of user factors.
+# jitted retrieval callables cached per (mesh, k, n, with-exclusion) —
+# serving must not re-trace per request
+_RETRIEVAL_CACHE: dict = {}
 
-    Args:
-      mesh: device mesh with a 'cols' axis (H column-sharded), or None for
-        the single-device path.
-      w_batch: (b, r) user factor rows (replicated).
-      h: (r, n) item factors, column-sharded over 'cols' when mesh given.
-      k: number of items to return per user.
-      exclude: optional (b, n) bool mask of items to exclude (e.g. already
-        interacted) — applied before ranking.
 
-    Returns: (values (b, k), indices (b, k)) global item indices, exact.
-    """
-    if mesh is None or "cols" not in mesh.axis_names:
-        scores = w_batch @ h
-        if exclude is not None:
-            scores = jnp.where(exclude, -jnp.inf, scores)
-        return jax.lax.top_k(scores, k)
-
-    n = h.shape[1]
+def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool):
     n_shards = mesh.shape["cols"]
-    if n % n_shards:
-        raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
     n_local = n // n_shards
 
-    def f(w_b, h_loc, excl_loc):
+    def f(w_b, h_loc, excl_loc=None):
         scores = w_b @ h_loc  # (b, n_local)
         if excl_loc is not None:
             scores = jnp.where(excl_loc, -jnp.inf, scores)
@@ -70,18 +53,57 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
         out_idx = jnp.take_along_axis(all_idx, pos, axis=1)
         return out_vals, out_idx
 
-    in_specs = (P(None, None), P(None, "cols"),
-                P(None, "cols") if exclude is not None else P())
+    out_specs = (P(None, None), P(None, None))
+    if with_exclude:
+        mapped = shard_map(
+            f, mesh=mesh,
+            in_specs=(P(None, None), P(None, "cols"), P(None, "cols")),
+            out_specs=out_specs, check_vma=False,
+        )
+    else:
+        mapped = shard_map(
+            lambda w_b, h_loc: f(w_b, h_loc), mesh=mesh,
+            in_specs=(P(None, None), P(None, "cols")),
+            out_specs=out_specs, check_vma=False,
+        )
+    return jax.jit(mapped)
+
+
+def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
+    """Top-k item retrieval for a batch of user factors.
+
+    Args:
+      mesh: device mesh with a 'cols' axis (H column-sharded), or None for
+        the single-device path.
+      w_batch: (b, r) user factor rows (replicated).
+      h: (r, n) item factors, column-sharded over 'cols' when mesh given.
+      k: number of items to return per user.
+      exclude: optional (b, n) bool mask of items to exclude (e.g. already
+        interacted) — applied before ranking.
+
+    Returns: (values (b, k), indices (b, k)) global item indices, exact.
+    The compiled retrieval function is cached per (mesh, k, n, exclusion)
+    so repeated serving calls don't re-trace.
+    """
+    if mesh is None or "cols" not in mesh.axis_names:
+        scores = w_batch @ h
+        if exclude is not None:
+            scores = jnp.where(exclude, -jnp.inf, scores)
+        return jax.lax.top_k(scores, k)
+
+    n = h.shape[1]
+    n_shards = mesh.shape["cols"]
+    if n % n_shards:
+        raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
+
+    cache_key = (mesh, k, n, exclude is not None)
+    fn = _RETRIEVAL_CACHE.get(cache_key)
+    if fn is None:
+        fn = _build_sharded_retrieval(mesh, k, n, exclude is not None)
+        _RETRIEVAL_CACHE[cache_key] = fn
     if exclude is None:
-        fn = lambda w_b, h_loc: f(w_b, h_loc, None)
-        return shard_map(
-            fn, mesh=mesh, in_specs=in_specs[:2],
-            out_specs=(P(None, None), P(None, None)), check_vma=False,
-        )(w_batch, h)
-    return shard_map(
-        f, mesh=mesh, in_specs=in_specs,
-        out_specs=(P(None, None), P(None, None)), check_vma=False,
-    )(w_batch, h, exclude)
+        return fn(w_batch, h)
+    return fn(w_batch, h, exclude)
 
 
 def recall_at_k(pred_idx, true_idx) -> float:
