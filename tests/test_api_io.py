@@ -88,3 +88,25 @@ def test_facade_with_mesh(lowrank_data):
     with contextlib.redirect_stdout(io.StringIO()):
         model.factorize(method="mur", **params)
     np.testing.assert_allclose(model.w, a.w, rtol=1e-8)
+
+
+def test_loaded_model_can_resave(tmp_path, lowrank_data):
+    """Review finding: save_factorization on a loaded model must work (the
+    experiment dict is rebuilt as a namedtuple)."""
+    model = _factorize_small(lowrank_data)
+    with contextlib.redirect_stdout(io.StringIO()):
+        path = model.save_factorization(save_dir=str(tmp_path / "a"))
+        loaded = NMF.load_factorization(path)
+        assert loaded.default_save_name() == model.default_save_name()
+        path2 = loaded.save_factorization(save_dir=str(tmp_path / "b"))
+    reloaded = NMF.load_factorization(path2)
+    np.testing.assert_allclose(reloaded.w, model.w)
+
+
+def test_half_specified_init_raises(lowrank_data):
+    import pytest
+
+    from tpunmf.solvers import mur
+
+    with pytest.raises(ValueError, match="w_init and h_init"):
+        mur(lowrank_data, 4, w_init=np.ones((60, 4)))

@@ -88,3 +88,19 @@ def test_mismatched_config_rejected(tmp_path, lowrank_data):
     with pytest.raises(ValueError, match="mismatch"):
         mur(lowrank_data, 5, max_iter=20, checkpoint_path=ck,
             checkpoint_every=5, resume=True, **kw)
+
+
+def test_config_tag_rejects_different_regularization(tmp_path, lowrank_data):
+    """Same shapes, different lambda: the checkpoint must be refused (the
+    review finding — shape checks alone let a stale state masquerade as a
+    fresh run)."""
+    import pytest
+
+    kw = dict(distance_type="eu", min_iter=2, max_iter=20, tol1=1e-12,
+              tol2=1e-12, nndsvd_init=(True, "zero"))
+    ck = str(tmp_path / "ck")
+    mur(lowrank_data, 5, lambda_h=0.0, checkpoint_path=ck,
+        checkpoint_every=5, **kw)
+    with pytest.raises(ValueError, match="configuration mismatch"):
+        mur(lowrank_data, 5, lambda_h=0.5, checkpoint_path=ck,
+            checkpoint_every=5, resume=True, **kw)

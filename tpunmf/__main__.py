@@ -71,6 +71,11 @@ def cmd_grid(args) -> int:
     from tpunmf.data import load_matrix
     from tpunmf.experiments import grid_search
 
+    if args.checkpoint:
+        print("error: --checkpoint is not supported with grid "
+              "(combinations would share one state file)", file=sys.stderr)
+        return 2
+
     data = load_matrix(args.data, key=args.key)
     features = [int(x) for x in args.features.split(",")]
     lws = [float(x) for x in args.lambda_w.split(",")]

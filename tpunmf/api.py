@@ -147,14 +147,25 @@ class NMF:
 
     @classmethod
     def load_factorization(cls, path: str) -> "NMF":
-        """Restore a saved factorization (new capability vs reference)."""
+        """Restore a saved factorization (new capability vs reference).
+
+        The experiment record is rebuilt as a namedtuple (files store it as
+        a dict), so ``save_factorization`` / ``default_save_name`` work on
+        a loaded model too.
+        """
+        from collections import namedtuple
+
         payload = load_results(path)
+        experiment = payload["experiment"]
+        if isinstance(experiment, dict):
+            exp_cls = namedtuple("Experiment", list(experiment.keys()))
+            experiment = exp_cls(**experiment)
         obj = cls(data=None, factors=payload["w"].shape[1])
         obj.results = Results(
             w=payload["w"],
             h=payload["h"],
             i=payload["i"],
             obj_history=payload["obj_history"],
-            experiment=payload["experiment"],
+            experiment=experiment,
         )
         return obj

@@ -39,13 +39,25 @@ def save_state(path: str, carry, meta: dict | None = None) -> str:
     return final
 
 
-def load_state(path: str, template):
+def load_state(path: str, template, expected_meta=None):
     """Restore a carry saved by :func:`save_state` into the structure of
-    ``template`` (a carry produced by the same solver configuration)."""
+    ``template`` (a carry produced by the same solver configuration).
+
+    When ``expected_meta`` is given and the checkpoint stored a meta
+    record, the two must match — this rejects checkpoints written by a
+    different solver configuration even when the array shapes happen to
+    coincide (e.g. same problem, different regularization)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
     with np.load(path, allow_pickle=True) as f:
+        if expected_meta is not None and "meta" in f:
+            stored = f["meta"].item()
+            if stored != expected_meta:
+                raise ValueError(
+                    "checkpoint configuration mismatch: saved by "
+                    f"{stored!r}, resuming as {expected_meta!r}"
+                )
         n = int(f["n_leaves"])
         if n != len(t_leaves):
             raise ValueError(

@@ -55,10 +55,14 @@ def _tileable(x, w, h) -> tuple[int, int] | None:
     if bm is None or bn is None:
         return None
     # keep x-tile + w/h tiles + wh scratch comfortably inside VMEM (~16MB)
-    while bm * bn * 4 * 3 + (bm + bn) * k * 4 > 8 * 1024 * 1024 and bm > 8:
+    def budget(bm_, bn_):
+        return bm_ * bn_ * 4 * 3 + (bm_ + bn_) * k * 4
+    while budget(bm, bn) > 8 * 1024 * 1024 and bm > 8:
         bm //= 2
         if m % bm:
             return None
+    if budget(bm, bn) > 8 * 1024 * 1024:
+        return None  # can't fit (e.g. very large k): use the XLA fallback
     return bm, bn
 
 

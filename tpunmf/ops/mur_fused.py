@@ -55,10 +55,14 @@ def mur_tileable(x, k: int):
     bn = 1024 if n % 1024 == 0 else _pick_block(n)
     if bm is None or bn is None:
         return None
-    while bm * bn * xb * 2 + (bm + bn) * k * 4 * 2 > 8 * 1024 * 1024 and bm > 8:
+    def budget(bm_, bn_):
+        return bm_ * bn_ * xb * 2 + (bm_ + bn_) * k * 4 * 2
+    while budget(bm, bn) > 8 * 1024 * 1024 and bm > 8:
         bm //= 2
         if m % bm:
             return None
+    if budget(bm, bn) > 8 * 1024 * 1024:
+        return None  # can't fit: fall back to the jnp step
     return bm, bn
 
 

@@ -22,18 +22,24 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          process_id: Optional[int] = None) -> None:
     """Bring up the jax.distributed runtime (no-op when single-process).
 
+    Must run before any other JAX call (anything that touches devices —
+    even ``jax.process_count()`` — initializes the XLA backend and makes
+    distributed bring-up impossible, so no such probe happens here).
     On Cloud TPU the arguments are auto-detected; pass them explicitly for
-    other fabrics.
+    other fabrics.  Calling twice is tolerated.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
     if coordinator_address is None and num_processes in (None, 1):
         return  # single-process run: nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # idempotent: someone initialized earlier
+        raise
 
 
 def assert_collective_consistency(value, *, rtol: float = 0.0) -> None:

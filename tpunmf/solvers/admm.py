@@ -218,6 +218,8 @@ def admm(
         prox_h=reg_h[1],
     )
 
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
     if w_init is not None and h_init is not None:
         w = jnp.asarray(w_init, dtype=v.dtype)
         h = jnp.asarray(h_init, dtype=v.dtype)
@@ -256,6 +258,7 @@ def admm(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
+        config_tag=repr(experiment),
     )
 
     w, h = carry.inner[0], carry.inner[1]

@@ -152,6 +152,8 @@ def anls(
         fcnnls=use_fcnnls,
     )
 
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
     if w_init is not None and h_init is not None:
         w = jnp.asarray(w_init, dtype=x.dtype)
         h = jnp.asarray(h_init, dtype=x.dtype)
@@ -181,6 +183,7 @@ def anls(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
+        config_tag=repr(experiment),
     )
 
     w, h = carry.inner

@@ -128,6 +128,7 @@ def run_loop(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
+    config_tag: Optional[str] = None,
 ) -> LoopCarry:
     """drive() plus optional checkpoint/resume.
 
@@ -135,19 +136,22 @@ def run_loop(
     (block size defaults to ``checkpoint_every`` or 500) and, when
     ``resume=True`` and a checkpoint exists, restored before running — the
     loop continues from the saved iteration with identical semantics.
+    ``config_tag`` (typically ``repr(experiment)``) is stored with each
+    checkpoint and verified on resume, so a checkpoint from a different
+    configuration is rejected even when shapes coincide.
     """
     if checkpoint_path:
         from ..io.checkpoint import checkpoint_exists, load_state, save_state
 
         if resume and checkpoint_exists(checkpoint_path):
-            carry = load_state(checkpoint_path, carry)
+            carry = load_state(checkpoint_path, carry, expected_meta=config_tag)
         if block_size is None:
             block_size = checkpoint_every or 500
 
         user_cb = on_block_end
 
         def on_block_end(c):
-            save_state(checkpoint_path, c)
+            save_state(checkpoint_path, c, meta=config_tag)
             if user_cb is not None:
                 user_cb(c)
 

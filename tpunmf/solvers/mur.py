@@ -221,6 +221,8 @@ def mur(
         x = x.astype(data_dtype)
     factor_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
 
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
     if w_init is not None and h_init is not None:
         w = jnp.asarray(w_init, dtype=factor_dtype)
         h = jnp.asarray(h_init, dtype=factor_dtype)
@@ -236,9 +238,11 @@ def mur(
             dtype=factor_dtype,
         )
 
-    xsq = jnp.sum(x * x) if (distance_type == "eu" and objective == "gram") else jnp.zeros(
-        (), dtype=x.dtype
-    )
+    if distance_type == "eu" and objective == "gram":
+        xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+        xsq = jnp.sum(xf * xf)
+    else:
+        xsq = jnp.zeros((), dtype=factor_dtype)
 
     # fused whole-iteration kernels (2-3 passes over x) when on TPU and
     # the shapes tile; otherwise the jnp step (XLA-fused, any backend)
@@ -278,6 +282,7 @@ def mur(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
+        config_tag=repr(experiment),
     )
 
     w, h = carry.inner[0], carry.inner[1]

@@ -131,19 +131,24 @@ class _Panels:
     def cols(self, j):
         return min(self.col_panel, self.n - j * self.col_panel)
 
-    def w_block(self, w, i):
-        wb = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(w, ((0, self.rb * self.row_block - self.m), (0, 0))),
-            i * self.row_block, self.row_block, axis=0,
-        )
-        return wb
+    # factors are padded ONCE per pass (pad_w/pad_h), then per-tile access
+    # is a cheap slice — not a full-matrix re-pad per tile
 
-    def h_panel(self, h, j):
-        hp = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(h, ((0, 0), (0, self.cb * self.col_panel - self.n))),
-            j * self.col_panel, self.col_panel, axis=1,
+    def pad_w(self, w):
+        return jnp.pad(w, ((0, self.rb * self.row_block - self.m), (0, 0)))
+
+    def pad_h(self, h):
+        return jnp.pad(h, ((0, 0), (0, self.cb * self.col_panel - self.n)))
+
+    def w_block(self, w_padded, i):
+        return jax.lax.dynamic_slice_in_dim(
+            w_padded, i * self.row_block, self.row_block, axis=0
         )
-        return hp
+
+    def h_panel(self, h_padded, j):
+        return jax.lax.dynamic_slice_in_dim(
+            h_padded, j * self.col_panel, self.col_panel, axis=1
+        )
 
 
 def mur_streaming(
@@ -178,6 +183,8 @@ def mur_streaming(
     p = _Panels(x_sparse, row_block, col_panel, skip_empty_panels)
     m, n = p.m, p.n
 
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
     if w_init is not None and h_init is not None:
         w = jnp.asarray(w_init, dtype=dtype)
         h = jnp.asarray(h_init, dtype=dtype)
@@ -198,32 +205,36 @@ def mur_streaming(
     def streamed_xht(h, kl_with_w=None):
         """sum_j X_panel @ h_panel^T per row block (EU), or the KL ratio
         version when ``kl_with_w`` is the current W."""
+        hp = p.pad_h(h)
+        wp = None if kl_with_w is None else p.pad_w(kl_with_w)
         blocks = []
         for i in range(p.rb):
             acc = jnp.zeros((p.row_block, k), dtype=dtype)
             for j in range(p.cb):
                 if (i, j) not in p.nonempty:
                     continue
-                if kl_with_w is None:
-                    acc = _acc_xht(acc, p.x(i, j), p.h_panel(h, j))
+                if wp is None:
+                    acc = _acc_xht(acc, p.x(i, j), p.h_panel(hp, j))
                 else:
-                    acc = _acc_kl_rht(acc, p.x(i, j), p.w_block(kl_with_w, i),
-                                      p.h_panel(h, j))
+                    acc = _acc_kl_rht(acc, p.x(i, j), p.w_block(wp, i),
+                                      p.h_panel(hp, j))
             blocks.append(acc[: p.rows(i)])
         return jnp.concatenate(blocks, axis=0)
 
     def streamed_wtx(w, kl_with_h=None):
+        wp = p.pad_w(w)
+        hp = None if kl_with_h is None else p.pad_h(kl_with_h)
         cols_out = []
         for j in range(p.cb):
             acc = jnp.zeros((k, p.col_panel), dtype=dtype)
             for i in range(p.rb):
                 if (i, j) not in p.nonempty:
                     continue
-                if kl_with_h is None:
-                    acc = _acc_wtx(acc, p.w_block(w, i), p.x(i, j))
+                if hp is None:
+                    acc = _acc_wtx(acc, p.w_block(wp, i), p.x(i, j))
                 else:
-                    acc = _acc_kl_wtr(acc, p.x(i, j), p.w_block(w, i),
-                                      p.h_panel(kl_with_h, j))
+                    acc = _acc_kl_wtr(acc, p.x(i, j), p.w_block(wp, i),
+                                      p.h_panel(hp, j))
             cols_out.append(acc[:, : p.cols(j)])
         return jnp.concatenate(cols_out, axis=1)
 
@@ -237,13 +248,14 @@ def mur_streaming(
         k-vector dot products instead of a dense pass.
         """
         obj = jnp.zeros((), dtype=dtype)
-        w_colsums = [jnp.sum(p.w_block(w, i), axis=0) for i in range(p.rb)]
-        h_rowsums = [jnp.sum(p.h_panel(h, j), axis=1) for j in range(p.cb)]
+        wp, hp = p.pad_w(w), p.pad_h(h)
+        w_colsums = [jnp.sum(p.w_block(wp, i), axis=0) for i in range(p.rb)]
+        h_rowsums = [jnp.sum(p.h_panel(hp, j), axis=1) for j in range(p.cb)]
         for i in range(p.rb):
             for j in range(p.cb):
                 if (i, j) in p.nonempty:
-                    obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(w, i),
-                                      p.h_panel(h, j))
+                    obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(wp, i),
+                                      p.h_panel(hp, j))
                 else:
                     obj = obj + jnp.dot(w_colsums[i], h_rowsums[j])
         return float(obj)
