@@ -67,3 +67,32 @@ def test_nndsvd_randomized_close_to_exact(rng):
     w_r, h_r = nndsvd(x, 8, method="randomized", power_iters=4)
     # same subspace => same nndsvd output up to numerical noise
     np.testing.assert_allclose(np.asarray(w_r), np.asarray(w_e), rtol=1e-4, atol=1e-6)
+
+
+def test_randomized_svd_sharded_input(rng):
+    """rSVD's large ops are GEMMs, so it runs on a column-sharded matrix
+    (the recommender-scale init path) and matches the unsharded result."""
+    import jax
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+
+    from tpunmf.parallel import build_mesh, nmf_shardings
+
+    a = rng.random((96, 12))
+    b = rng.random((12, 64))
+    x = a @ b
+    key = jax.random.PRNGKey(0)
+    u0, s0, vt0 = randomized_svd(jnp.asarray(x), 10, key=key, power_iters=3)
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    xs = jax.device_put(jnp.asarray(x), nmf_shardings(mesh)["h"])  # P(None,'cols')
+    u1, s1, vt1 = randomized_svd(xs, 10, key=key, power_iters=3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(u1 * s1) @ np.asarray(vt1),
+        np.asarray(u0 * s0) @ np.asarray(vt0), rtol=1e-8,
+    )
