@@ -49,3 +49,27 @@ def test_recall_at_k():
     pred = np.array([[1, 2, 3], [4, 5, 6]])
     true = np.array([[1, 9], [4, 5]])
     assert np.isclose(recall_at_k(pred, true), (0.5 + 1.0) / 2)
+
+
+def test_sharded_topk_on_2d_mesh(factors):
+    """Serving straight off the training mesh (rows x cols): H stays
+    column-sharded, the rows axis is just replication for retrieval."""
+    w, h = factors
+    mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+    dense_vals, dense_idx = topk_scores_dense(w, h, 5)
+    vals, idx = topk_retrieval(mesh, w, h, 5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(dense_idx))
+
+
+def test_retrieval_cache_reuse(factors):
+    """Repeated serving calls reuse the compiled function."""
+    from tpunmf.serve import topk as topk_mod
+
+    w, h = factors
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    before = len(topk_mod._RETRIEVAL_CACHE)
+    topk_retrieval(mesh, w, h, 5)
+    topk_retrieval(mesh, w, h, 5)
+    topk_retrieval(mesh, w, h, 5)
+    after = len(topk_mod._RETRIEVAL_CACHE)
+    assert after <= before + 1

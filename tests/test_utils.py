@@ -52,3 +52,32 @@ def test_grid_search(lowrank_data, tmp_path):
     import os
 
     assert len(os.listdir(tmp_path)) == 4
+
+
+def test_metrics_logger_stream_jsonl(lowrank_data):
+    import io as _io
+    import json
+
+    from tpunmf.utils import MetricsLogger
+
+    buf = _io.StringIO()
+    logger = MetricsLogger(stream=buf)
+    mur(lowrank_data, 5, distance_type="eu", min_iter=2, max_iter=20,
+        tol1=1e-12, tol2=1e-12, nndsvd_init=(True, "zero"),
+        block_size=5, on_block_end=logger)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines()]
+    assert len(lines) == 4 and lines[-1]["iteration"] == 20
+
+
+def test_profiler_trace_writes(tmp_path, lowrank_data):
+    from tpunmf.utils import trace
+
+    with trace(str(tmp_path / "prof")):
+        mur(lowrank_data, 4, distance_type="eu", min_iter=2, max_iter=5,
+            tol1=1e-12, tol2=1e-12, nndsvd_init=(True, "zero"))
+    import os
+
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found.extend(files)
+    assert found  # a trace artifact was written
