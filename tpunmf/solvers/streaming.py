@@ -111,7 +111,6 @@ class _Panels:
         self.m, self.n = self.stream.m, self.stream.n
         self.rb, self.cb = self.stream.grid
         self.row_block, self.col_panel = self.stream.row_block, self.stream.col_panel
-        self.buf = np.empty((self.row_block, self.col_panel), dtype=np.float32)
         self.nonempty = {
             (i, j)
             for i in range(self.rb)
@@ -120,10 +119,11 @@ class _Panels:
         }
 
     def x(self, i, j):
-        # jnp.array (not asarray): the host buffer is reused across panels,
-        # and a zero-copy alias (possible on the CPU backend) would let the
-        # next densify clobber this panel's device view
-        return jnp.array(self.stream.panel(i, j, out=self.buf))
+        # fresh host array per panel: device transfers can be asynchronous
+        # and zero-copy on the CPU backend, so a reused buffer would let
+        # the next densify clobber an in-flight panel (observed as flaky
+        # trajectory divergence)
+        return jnp.asarray(self.stream.panel(i, j))
 
     def rows(self, i):
         return min(self.row_block, self.m - i * self.row_block)

@@ -1,0 +1,195 @@
+"""Sharded out-of-core MUR: the BASELINE config[4] shape
+(recommender-scale V, H column-sharded across the mesh, V streamed).
+
+Layout per the north star: H lives column-sharded P(None, 'cols') across
+the mesh and never gathers; W is replicated; V is streamed from host CSR
+in ROW BLOCKS, where each block is assembled directly as a column-sharded
+global array via ``jax.make_array_from_callback`` — every device (and on
+multi-host, every host) densifies ONLY its own column range of the block
+through the native panelizer.  The per-iteration partial products
+``X_block @ H^T`` and ``W_block^T @ X_block`` contract over the sharded
+column axis, so XLA reduces them with psum over ICI, exactly as in the
+in-core sharded path.
+
+Euclidean per iteration:
+  G_h = H H^T                      (sharded Gram, psum)
+  for each row block i:  numer_W[i] = X_i @ H^T       (stream pass 1)
+  W <- mur update (replicated)
+  for each row block i:  WtX[:, :] += W_i^T X_i       (stream pass 2,
+                                                       result stays sharded)
+  H <- mur update (sharded elementwise)
+  obj via the Gram trick (free, exact reductions in f32)
+
+Memory: device holds H shard (k x n/p), W (m x k, replicated), one
+row-block shard (row_block x n/p) — V itself never resident.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.convergence import convergence_check
+from ..core.types import MurExperiment, Results
+from ..data.sparse_panels import PanelStream
+from ..init import random_init
+
+_EPS = 1e-9
+
+
+@partial(jax.jit, static_argnames=())
+def _gram_h(h):
+    return h @ h.T
+
+
+@jax.jit
+def _block_xht(x_block, h):
+    return x_block @ h.T  # contracts sharded cols -> psum, replicated out
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_block_wtx(wtx, w_block, x_block):
+    return wtx + w_block.T @ x_block  # stays column-sharded like wtx
+
+
+@jax.jit
+def _w_update(w, numer, gram_h, lambda_w):
+    return w * numer / (w @ gram_h + lambda_w * w + _EPS)
+
+
+@jax.jit
+def _h_update(h, wtx, gram_w, lambda_h):
+    return h * wtx / (gram_w @ h + lambda_h * h + _EPS)
+
+
+@jax.jit
+def _gram_obj(xsq, wtx, gram_w, h):
+    cross = jnp.vdot(h, wtx)
+    quad = jnp.vdot(gram_w, h @ h.T)
+    return 0.5 * (xsq - 2.0 * cross + quad)
+
+
+def mur_streaming_sharded(
+    x_sparse,
+    k: int,
+    mesh: Mesh,
+    *,
+    min_iter: int = 10,
+    max_iter: int = 200,
+    tol1: float = 1e-5,
+    tol2: float = 1e-5,
+    lambda_w: float = 0.0,
+    lambda_h: float = 0.0,
+    row_block: int = 8192,
+    key=None,
+    w_init=None,
+    h_init=None,
+    dtype=jnp.float32,
+    verbose: bool = False,
+) -> Results:
+    """Euclidean MUR with column-sharded H and row-block-streamed V.
+
+    Args:
+      x_sparse: scipy sparse matrix (any format).
+      mesh: mesh with a 'cols' axis; n must divide by its size.
+    """
+    if "cols" not in mesh.axis_names:
+        raise ValueError("mesh must have a 'cols' axis")
+    m, n = x_sparse.shape
+    n_shards = mesh.shape["cols"]
+    if n % n_shards:
+        raise ValueError(f"n={n} must divide the 'cols' mesh size {n_shards}")
+    col_shard = n // n_shards
+
+    h_sharding = NamedSharding(mesh, P(None, "cols"))
+    x_sharding = NamedSharding(mesh, P(None, "cols"))
+    replicated = NamedSharding(mesh, P())
+
+    stream = PanelStream(x_sparse, row_block=row_block, col_panel=col_shard)
+    rb = stream.grid[0]
+
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
+    if w_init is not None:
+        w = jax.device_put(jnp.asarray(w_init, dtype=dtype), replicated)
+        h = jax.device_put(jnp.asarray(h_init, dtype=dtype), h_sharding)
+    else:
+        w0, h0 = random_init(
+            key if key is not None else jax.random.PRNGKey(0),
+            m, n, k, kind="abs_normal", dtype=dtype,
+        )
+        w = jax.device_put(w0, replicated)
+        h = jax.device_put(h0, h_sharding)
+
+    experiment = MurExperiment(
+        method="mur", components=k, distance_type="eu",
+        nndsvd_init=(False, "zero"), max_iter=max_iter, tol1=tol1, tol2=tol2,
+        lambda_w=lambda_w, lambda_h=lambda_h,
+    )
+    xsq = float(np.sum(np.asarray(x_sparse.data, dtype=np.float64) ** 2))
+
+    def x_block(i):
+        """Row block i as a column-sharded global array; the callback runs
+        once per addressable shard and densifies only that column range."""
+        r0 = i * row_block
+        rows = min(row_block, m - r0)
+
+        def cb(index):
+            col_sl = index[1]
+            c0 = 0 if col_sl.start is None else col_sl.start
+            j = c0 // col_shard
+            out = stream.panel(i, j)
+            if rows < row_block:
+                out = out.copy()  # panel() zero-pads already; keep explicit
+            return out
+
+        return jax.make_array_from_callback(
+            (row_block, n), x_sharding, cb
+        )
+
+    def pass_numer_w(h):
+        blocks = []
+        for i in range(rb):
+            nb = _block_xht(x_block(i), h)
+            rows = min(row_block, m - i * row_block)
+            blocks.append(nb[:rows])
+        return jnp.concatenate(blocks, axis=0)
+
+    def pass_wtx(w):
+        wtx = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
+        for i in range(rb):
+            r0 = i * row_block
+            rows = min(row_block, m - r0)
+            wb = w[r0:r0 + rows]
+            if rows < row_block:
+                wb = jnp.pad(wb, ((0, row_block - rows), (0, 0)))
+            wtx = _acc_block_wtx(wtx, wb, x_block(i))
+        return wtx
+
+    wtx = pass_wtx(w)
+    gram_w = w.T @ w
+    obj_history = [float(_gram_obj(xsq, wtx, gram_w, h))]
+
+    i = 0
+    for i in range(max_iter):
+        gram_h = _gram_h(h)
+        numer_w = pass_numer_w(h)
+        w = _w_update(w, numer_w, gram_h, lambda_w)
+        wtx = pass_wtx(w)
+        gram_w = w.T @ w
+        h = _h_update(h, wtx, gram_w, lambda_h)
+        obj_history.append(float(_gram_obj(xsq, wtx, gram_w, h)))
+        if verbose:
+            print(f"[{i}]: {obj_history[-1]}")
+        if i > min_iter and convergence_check(
+            obj_history[-1], obj_history[-2], tol1, tol2
+        ):
+            break
+
+    return Results(
+        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        experiment=experiment,
+    )
