@@ -100,3 +100,31 @@ def test_sharded_streaming_matches_incore(rng):
     )
     np.testing.assert_allclose(sharded.w, incore.w, rtol=1e-8)
     np.testing.assert_allclose(sharded.h, incore.h, rtol=1e-8)
+
+
+def test_sharded_streaming_kl_matches_incore(rng):
+    """KL variant of the sharded out-of-core path."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+    from tpunmf.solvers.streaming_sharded import mur_streaming_sharded
+
+    m, n, k = 72, 96, 5
+    dense = np.round(rng.random((m, n)) * 256) / 256
+    dense[dense < 0.4] = 0.0
+    csr = sp.csr_matrix(dense)
+    w0 = rng.random((m, k)) + 0.1
+    h0 = rng.random((5, 96)) + 0.1
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    kw = dict(min_iter=3, max_iter=12, tol1=1e-12, tol2=1e-12)
+    sharded = mur_streaming_sharded(csr, k, mesh, distance_type="kl",
+                                    w_init=w0, h_init=h0, row_block=32,
+                                    dtype=np.float64, **kw)
+    incore = mur(dense, k, distance_type="kl", w_init=w0, h_init=h0, **kw)
+    np.testing.assert_allclose(
+        np.array(sharded.obj_history), np.array(incore.obj_history), rtol=1e-8
+    )
+    np.testing.assert_allclose(sharded.w, incore.w, rtol=1e-8)

@@ -93,9 +93,15 @@ class PanelStream:
         return int(self.csr[row0:row0 + rows, col0:col0 + cols].nnz)
 
     def __iter__(self) -> Iterator[tuple[int, int, np.ndarray]]:
+        """Iterate (i, j, panel) tiles.
+
+        NOTE: yields views of two rotating host buffers so densification
+        can overlap a device transfer — the caller must consume (copy or
+        synchronously transfer) each panel before advancing the iterator
+        twice, or take its own copy.  For random access without aliasing
+        use :meth:`panel` with ``out=None``.
+        """
         rb, cb = self.grid
-        # double-buffer: reuse two host arrays so the caller can overlap
-        # device transfer of one panel with densification of the next
         bufs = [
             np.zeros((self.row_block, self.col_panel), dtype=np.float32)
             for _ in range(2)

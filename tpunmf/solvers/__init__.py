@@ -2,5 +2,14 @@ from .admm import admm
 from .anls import anls
 from .ao_admm import ao_admm
 from .mur import mur
+from .streaming import mur_streaming
+from .streaming_sharded import mur_streaming_sharded
 
-__all__ = ["mur", "anls", "admm", "ao_admm"]
+__all__ = [
+    "mur",
+    "anls",
+    "admm",
+    "ao_admm",
+    "mur_streaming",
+    "mur_streaming_sharded",
+]

@@ -11,6 +11,11 @@ through the native panelizer.  The per-iteration partial products
 column axis, so XLA reduces them with psum over ICI, exactly as in the
 in-core sharded path.
 
+KL support mirrors the in-core KL-MUR: the ratio X/(WH+eps) is formed
+per row block against the sharded H (elementwise on the sharded columns),
+its products reduce the same way, and the masked KL objective accumulates
+per block.
+
 Euclidean per iteration:
   G_h = H H^T                      (sharded Gram, psum)
   for each row block i:  numer_W[i] = X_i @ H^T       (stream pass 1)
@@ -72,11 +77,48 @@ def _gram_obj(xsq, wtx, gram_w, h):
     return 0.5 * (xsq - 2.0 * cross + quad)
 
 
+@jax.jit
+def _block_kl_rht(x_block, w_block, h):
+    """(x/(wh+eps)) @ h^T for one row block; psum over sharded cols."""
+    r = x_block / (w_block @ h + _EPS)
+    return r @ h.T
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_block_kl_wtr(acc, x_block, w_block, h):
+    r = x_block / (w_block @ h + _EPS)
+    return acc + w_block.T @ r
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _acc_block_kl_obj(obj, x_block, w_block, h):
+    wh = w_block @ h
+    val = x_block * jnp.log(x_block / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    return obj + jnp.sum(val - x_block + wh)
+
+
+@jax.jit
+def _w_update_kl(w, numer, h, lambda_w):
+    b = jnp.sum(h, axis=1)[None, :]
+    a = w * numer
+    return 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+
+
+@jax.jit
+def _h_update_kl(h, numer, w, lambda_h):
+    d = jnp.sum(w, axis=0)[:, None]
+    c = h * numer
+    return 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+
+
 def mur_streaming_sharded(
     x_sparse,
     k: int,
     mesh: Mesh,
     *,
+    distance_type: str = "eu",
     min_iter: int = 10,
     max_iter: int = 200,
     tol1: float = 1e-5,
@@ -90,12 +132,14 @@ def mur_streaming_sharded(
     dtype=jnp.float32,
     verbose: bool = False,
 ) -> Results:
-    """Euclidean MUR with column-sharded H and row-block-streamed V.
+    """MUR (EU or KL) with column-sharded H and row-block-streamed V.
 
     Args:
       x_sparse: scipy sparse matrix (any format).
       mesh: mesh with a 'cols' axis; n must divide by its size.
     """
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
     if "cols" not in mesh.axis_names:
         raise ValueError("mesh must have a 'cols' axis")
     m, n = x_sparse.shape
@@ -125,7 +169,7 @@ def mur_streaming_sharded(
         h = jax.device_put(h0, h_sharding)
 
     experiment = MurExperiment(
-        method="mur", components=k, distance_type="eu",
+        method="mur", components=k, distance_type=distance_type,
         nndsvd_init=(False, "zero"), max_iter=max_iter, tol1=tol1, tol2=tol2,
         lambda_w=lambda_w, lambda_h=lambda_h,
     )
@@ -150,38 +194,63 @@ def mur_streaming_sharded(
             (row_block, n), x_sharding, cb
         )
 
-    def pass_numer_w(h):
+    def w_block_of(w, i):
+        r0 = i * row_block
+        rows = min(row_block, m - r0)
+        wb = w[r0:r0 + rows]
+        if rows < row_block:
+            wb = jnp.pad(wb, ((0, row_block - rows), (0, 0)))
+        return wb
+
+    def pass_numer_w(w, h):
         blocks = []
         for i in range(rb):
-            nb = _block_xht(x_block(i), h)
+            if distance_type == "eu":
+                nb = _block_xht(x_block(i), h)
+            else:
+                nb = _block_kl_rht(x_block(i), w_block_of(w, i), h)
             rows = min(row_block, m - i * row_block)
             blocks.append(nb[:rows])
         return jnp.concatenate(blocks, axis=0)
 
-    def pass_wtx(w):
+    def pass_wtx(w, h=None):
+        """EU: W^T X.  KL (h given): W^T (X/(WH+eps))."""
         wtx = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
         for i in range(rb):
-            r0 = i * row_block
-            rows = min(row_block, m - r0)
-            wb = w[r0:r0 + rows]
-            if rows < row_block:
-                wb = jnp.pad(wb, ((0, row_block - rows), (0, 0)))
-            wtx = _acc_block_wtx(wtx, wb, x_block(i))
+            wb = w_block_of(w, i)
+            if h is None:
+                wtx = _acc_block_wtx(wtx, wb, x_block(i))
+            else:
+                wtx = _acc_block_kl_wtr(wtx, x_block(i), wb, h)
         return wtx
 
-    wtx = pass_wtx(w)
-    gram_w = w.T @ w
-    obj_history = [float(_gram_obj(xsq, wtx, gram_w, h))]
+    def kl_objective(w, h):
+        obj = jnp.zeros((), dtype=dtype)
+        for i in range(rb):
+            obj = _acc_block_kl_obj(obj, x_block(i), w_block_of(w, i), h)
+        return float(obj)
+
+    if distance_type == "eu":
+        wtx = pass_wtx(w)
+        gram_w = w.T @ w
+        obj_history = [float(_gram_obj(xsq, wtx, gram_w, h))]
+    else:
+        obj_history = [kl_objective(w, h)]
 
     i = 0
     for i in range(max_iter):
-        gram_h = _gram_h(h)
-        numer_w = pass_numer_w(h)
-        w = _w_update(w, numer_w, gram_h, lambda_w)
-        wtx = pass_wtx(w)
-        gram_w = w.T @ w
-        h = _h_update(h, wtx, gram_w, lambda_h)
-        obj_history.append(float(_gram_obj(xsq, wtx, gram_w, h)))
+        if distance_type == "eu":
+            gram_h = _gram_h(h)
+            numer_w = pass_numer_w(w, h)
+            w = _w_update(w, numer_w, gram_h, lambda_w)
+            wtx = pass_wtx(w)
+            gram_w = w.T @ w
+            h = _h_update(h, wtx, gram_w, lambda_h)
+            obj_history.append(float(_gram_obj(xsq, wtx, gram_w, h)))
+        else:
+            w = _w_update_kl(w, pass_numer_w(w, h), h, lambda_w)
+            h = _h_update_kl(h, pass_wtx(w, h=h), w, lambda_h)
+            obj_history.append(kl_objective(w, h))
         if verbose:
             print(f"[{i}]: {obj_history[-1]}")
         if i > min_iter and convergence_check(
