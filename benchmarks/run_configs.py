@@ -142,9 +142,23 @@ def config3_admm_sparse(scale):
         from nmf import admm as ref_admm
 
         ref = run_ref(ref_admm.admm, x, k, **kw)
+        out["ref_i"] = ref.i
         out["ref_rel_err"] = rel_err(x, ref.w, ref.h)
         out["final_err_deviation"] = abs(
             out["fixed"]["rel_err"] - out["ref_rel_err"]) / max(out["ref_rel_err"], 1e-12)
+        # ADMM's objective is non-monotone and the convergence test fires on
+        # the first objective rise (nmf/utils.py:10), so the STOP INDEX is
+        # fp-sensitive.  The trajectory comparison below is the robust
+        # parity check: fixed iteration budget, no early stop.
+        kw_fixed = dict(kw, max_iter=25, min_iter=25, tol1=0.0, tol2=0.0)
+        ours_t = admm(x, k, **kw_fixed)
+        ref_t = run_ref(ref_admm.admm, x, k, **kw_fixed)
+        ro = np.array(ref_t.obj_history)
+        oo = np.array(ours_t.obj_history)
+        out["trajectory_max_rel_dev"] = float(
+            np.max(np.abs(ro - oo) / np.maximum(np.abs(ro), 1e-12))
+        )
+        out["iters_match"] = fixed.i == ref.i
     return out
 
 
