@@ -150,13 +150,26 @@ def config3_admm_sparse(scale):
         # the first objective rise (nmf/utils.py:10), so the STOP INDEX is
         # fp-sensitive.  The trajectory comparison below is the robust
         # parity check: fixed iteration budget, no early stop.
-        kw_fixed = dict(kw, max_iter=25, min_iter=25, tol1=0.0, tol2=0.0)
+        # min_iter == max_iter disables the early stop; tols must stay
+        # positive (the reference's precision formatting crashes on 0.0,
+        # nmf/admm.py:283)
+        kw_fixed = dict(kw, max_iter=25, min_iter=25, tol1=1e-9, tol2=1e-9)
         ours_t = admm(x, k, **kw_fixed)
         ref_t = run_ref(ref_admm.admm, x, k, **kw_fixed)
         ro = np.array(ref_t.obj_history)
         oo = np.array(ours_t.obj_history)
         out["trajectory_max_rel_dev"] = float(
             np.max(np.abs(ro - oo) / np.maximum(np.abs(ro), 1e-12))
+        )
+        # control: the reference vs ITSELF under a 1-ulp input perturbation
+        # — in this config the ADMM dynamics are unstable (objective rises
+        # until the stop fires), so fp-level noise amplifies chaotically;
+        # our deviation is "real" only if it exceeds this self-divergence.
+        x_pert = x * (1.0 + 1e-15)
+        ref_p = run_ref(ref_admm.admm, x_pert, k, **kw_fixed)
+        rp = np.array(ref_p.obj_history)
+        out["ref_self_divergence"] = float(
+            np.max(np.abs(ro - rp) / np.maximum(np.abs(ro), 1e-12))
         )
         out["iters_match"] = fixed.i == ref.i
     return out
