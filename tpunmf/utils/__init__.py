@@ -1,5 +1,11 @@
 from .metrics import MetricsLogger, objective_trace_stream
-from .profiling import debug_nans, determinism_check, named_scope, trace
+from .profiling import (
+    debug_nans,
+    determinism_check,
+    enable_compilation_cache,
+    named_scope,
+    trace,
+)
 
 __all__ = [
     "MetricsLogger",
@@ -8,4 +14,5 @@ __all__ = [
     "named_scope",
     "debug_nans",
     "determinism_check",
+    "enable_compilation_cache",
 ]

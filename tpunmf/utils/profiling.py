@@ -20,6 +20,21 @@ import numpy as np
 named_scope = jax.named_scope
 
 
+def enable_compilation_cache(cache_dir: str = "/tmp/tpunmf-xla-cache") -> None:
+    """Enable JAX's persistent compilation cache.
+
+    Saves compiled executables across processes — on remote-compile TPU
+    tunnels (30-90s per pallas kernel compile) this turns repeated solver
+    runs from minutes of compile into milliseconds of cache hits.
+    """
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a profiler trace of the enclosed computation."""
