@@ -86,3 +86,16 @@ def test_bad_nnls_solver_raises(lowrank_data):
 
     with pytest.raises(ValueError, match="nnls_solver"):
         anls(lowrank_data, 4, nnls_solver="bogus")
+
+
+def test_host_loop_matches_device_loop(lowrank_data):
+    """The TPU-safe host-driven loop must reproduce the device while_loop
+    exactly (same math, same convergence semantics)."""
+    kw = dict(min_iter=3, max_iter=20, tol1=1e-7, tol2=1e-7,
+              nndsvd_init=(True, "zero"))
+    dev = anls(lowrank_data, 5, device_loop=True, **kw)
+    host = anls(lowrank_data, 5, device_loop=False, **kw)
+    assert host.i == dev.i
+    np.testing.assert_allclose(np.array(host.obj_history),
+                               np.array(dev.obj_history), rtol=1e-12)
+    np.testing.assert_allclose(host.w, dev.w, rtol=1e-12)

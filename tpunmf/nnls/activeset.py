@@ -102,12 +102,17 @@ def _one_hot_cols(idx, l):
 
 
 @partial(jax.jit, static_argnames=("max_outer", "inner_cap"))
-def nnls_activeset(ct_c, ct_a, *, max_outer: int = 0, inner_cap: int = 0):
+def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
+                   inner_cap: int = 0):
     """Batched NNLS via masked active sets.
 
     Args:
       ct_c: (l, l) Gram matrix (SPD; add a ridge upstream if rank-deficient).
       ct_a: (l, p) cross-products, one column per right-hand side.
+      p_set0: optional (l, p) bool warm-start passive sets (e.g. the
+        support of the previous ANLS iterate).  The fixed point is the
+        unique NNLS optimum either way — warm starts change only the
+        iteration count, not the answer.
       max_outer: bound on outer optimality iterations (default 5*l + 10).
       inner_cap: shared feasibility-restoration budget, like the reference's
         ``iter_max = 3 * l_var`` (nmf/fcnnls.py:10); default 3*l.
@@ -120,12 +125,18 @@ def nnls_activeset(ct_c, ct_a, *, max_outer: int = 0, inner_cap: int = 0):
     if inner_cap == 0:
         inner_cap = 3 * l
 
-    # unconstrained seed + initial passive sets (fcnnls steps 4-7)
-    k0 = jnp.linalg.solve(ct_c, ct_a)
-    p_set = k0 > 0
-    k = jnp.where(p_set, k0, 0.0)
-    d = k
-    f_mask = ~jnp.all(p_set, axis=0)  # columns still active (step 6)
+    if p_set0 is None:
+        # unconstrained seed + initial passive sets (fcnnls steps 4-7)
+        k0 = jnp.linalg.solve(ct_c, ct_a)
+        p_set = k0 > 0
+        k = jnp.where(p_set, k0, 0.0)
+        d = k
+        f_mask = ~jnp.all(p_set, axis=0)  # columns still active (step 6)
+    else:
+        p_set = p_set0
+        k = masked_solve(ct_c, ct_a, p_set)
+        d = jnp.maximum(k, 0.0)
+        f_mask = jnp.ones((p,), dtype=bool)  # let optimality decide
 
     def inner_cond(c):
         _, _, _, h_mask, it = c

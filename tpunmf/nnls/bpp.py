@@ -30,19 +30,26 @@ from .activeset import masked_solve, _one_hot_cols
 
 
 @partial(jax.jit, static_argnames=("max_iter", "backup_budget"))
-def nnls_bpp(ct_c, ct_a, *, max_iter: int = 0, backup_budget: int = 3):
+def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
+             backup_budget: int = 3):
     """Batched NNLS via block principal pivoting.
 
-    Args/returns as :func:`tpunmf.nnls.nnls_activeset` — interchangeable.
+    Args/returns as :func:`tpunmf.nnls.nnls_activeset` — interchangeable;
+    ``f_set0`` warm-starts the passive partition (answer unchanged).
     """
     l, p = ct_a.shape
     if max_iter == 0:
         max_iter = 10 * l + 50
 
-    # start from the all-active partition (x = 0, y = -CtA)
-    f_set = jnp.zeros((l, p), dtype=bool)
-    x = jnp.zeros_like(ct_a)
-    y = -ct_a
+    if f_set0 is None:
+        # start from the all-active partition (x = 0, y = -CtA)
+        f_set = jnp.zeros((l, p), dtype=bool)
+        x = jnp.zeros_like(ct_a)
+        y = -ct_a
+    else:
+        f_set = f_set0
+        x = masked_solve(ct_c, ct_a, f_set)
+        y = jnp.where(f_set, 0.0, ct_c @ x - ct_a)
     ninf = jnp.full((p,), l + 1, dtype=jnp.int32)     # best |V| so far
     backup = jnp.full((p,), backup_budget, dtype=jnp.int32)
 

@@ -76,12 +76,14 @@ def _anls_block(
     def step(inner, i):
         w, h = inner
         # W update: normal equations of [h.T; sqrt(2*lw) I] vs [x.T; 0]
-        # (nmf/anls.py:18-31 folded: CtC = h h^T + 2*lw*I, CtA = h x^T)
+        # (nmf/anls.py:18-31 folded: CtC = h h^T + 2*lw*I, CtA = h x^T);
+        # warm-started from the previous iterate's support (the fixed point
+        # is the exact NNLS optimum, so trajectories are unchanged)
         ct_c = h @ h.T + 2.0 * lambda_w * eye
-        w = solve(ct_c, h @ x.T).T
+        w = solve(ct_c, h @ x.T, w.T > 0).T
         # H update (nmf/anls.py:34-47)
         ct_c = w.T @ w + 2.0 * lambda_h * eye
-        h = solve(ct_c, w.T @ x)
+        h = solve(ct_c, w.T @ x, h > 0)
 
         if distance_type == "kl":
             _, obj = kl_ratio_and_obj(x, w, h, use_pallas=use_pallas)
@@ -93,6 +95,33 @@ def _anls_block(
         step, carry, stop_i, tol1, tol2,
         min_iter=min_iter, max_iter=max_iter, verbose=verbose,
     )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "distance_type", "nnls_solver", "use_pallas"),
+)
+def _anls_iter(
+    x, w, h, lambda_w, lambda_h, *, k: int, distance_type: str,
+    nnls_solver: str, use_pallas: bool,
+):
+    """One ANLS iteration as a standalone jit (host-driven loop).
+
+    Used on TPU backends where embedding the NNLS while_loops inside the
+    solver's own while_loop (3-deep nesting) faults the TPU runtime — see
+    docs/PERF.md.  Each call is nesting depth 2, which is stable.
+    """
+    solve = nnls_bpp if nnls_solver == "bpp" else nnls_activeset
+    eye = jnp.eye(k, dtype=x.dtype)
+    ct_c = h @ h.T + 2.0 * lambda_w * eye
+    w = solve(ct_c, h @ x.T, w.T > 0).T
+    ct_c = w.T @ w + 2.0 * lambda_h * eye
+    h = solve(ct_c, w.T @ x, h > 0)
+    if distance_type == "kl":
+        _, obj = kl_ratio_and_obj(x, w, h, use_pallas=use_pallas)
+    else:
+        obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
+    return w, h, obj
 
 
 def anls(
@@ -115,6 +144,7 @@ def anls(
     h_init=None,
     key=None,
     use_pallas: Optional[bool] = None,
+    device_loop: Optional[bool] = None,
     verbose: bool = False,
     block_size: Optional[int] = None,
     on_block_end=None,
@@ -166,7 +196,57 @@ def anls(
             x.shape[0], x.shape[1], k, kind="uniform", dtype=x.dtype,
         )
 
+    if device_loop is None:
+        # the device while_loop wraps the NNLS while_loops (3-deep
+        # nesting), which faults this TPU runtime after a few iterations;
+        # the host-driven loop (depth 2 per jit call) is stable and has
+        # identical semantics (docs/PERF.md)
+        device_loop = jax.default_backend() != "tpu"
+
     obj0 = distance(x, w @ h, distance_type)
+
+    if not device_loop:
+        from ..core.convergence import convergence_check
+        from ..io.checkpoint import checkpoint_exists, load_state, save_state
+
+        state = {"w": w, "h": h, "i": -1, "obj_history": [float(obj0)]}
+        if checkpoint_path and resume and checkpoint_exists(checkpoint_path):
+            tmpl = {"w": w, "h": h,
+                    "obj_buf": np.zeros(max_iter + 1), "i": np.int64(0)}
+            saved = load_state(checkpoint_path, tmpl,
+                               expected_meta=repr(experiment))
+            w, h = jnp.asarray(saved["w"]), jnp.asarray(saved["h"])
+            done = int(saved["i"])
+            state = {"w": w, "h": h, "i": done,
+                     "obj_history": list(saved["obj_buf"][: done + 2])}
+        i = state["i"]
+        obj_history = state["obj_history"]
+        every = checkpoint_every or 500
+        for i in range(state["i"] + 1, max_iter):
+            w, h, obj = _anls_iter(
+                x, w, h, lambda_w, lambda_h, k=k,
+                distance_type=distance_type, nnls_solver=nnls_solver,
+                use_pallas=use_pallas,
+            )
+            obj_history.append(float(obj))
+            if verbose:
+                print(f"[{i}]: {obj_history[-1]}")
+            if checkpoint_path and (i + 1) % every == 0:
+                buf = np.zeros(max_iter + 1)
+                buf[: len(obj_history)] = obj_history
+                save_state(checkpoint_path,
+                           {"w": np.asarray(w), "h": np.asarray(h),
+                            "obj_buf": buf, "i": np.int64(i)},
+                           meta=repr(experiment))
+            if i > min_iter and convergence_check(
+                obj_history[-1], obj_history[-2], tol1, tol2
+            ):
+                break
+        return Results(
+            w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+            experiment=experiment,
+        )
+
     carry = init_carry(obj0, max_iter, (w, h))
 
     run = lambda c, stop: _anls_block(
