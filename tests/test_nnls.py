@@ -80,3 +80,26 @@ def test_masked_solve_chunked_matches_direct(rng, monkeypatch):
     monkeypatch.setattr(activeset, "_MASKED_SOLVE_BYTES_BUDGET", 8 * 8 * 8 * 5)
     chunked = np.asarray(activeset.masked_solve(ct_c, ct_a, p_set))
     np.testing.assert_allclose(chunked, direct, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("solver", [nnls_activeset, nnls_bpp])
+def test_cg_solve_method_matches_chol(problem, solver):
+    """The GEMM-shaped CG inner solver must land on the same NNLS optimum
+    as the direct Cholesky solves."""
+    c, a = problem
+    chol = np.asarray(solver(c.T @ c, c.T @ a, solve_method="chol"))
+    cg = np.asarray(solver(c.T @ c, c.T @ a, solve_method="cg"))
+    np.testing.assert_allclose(cg, chol, rtol=1e-6, atol=1e-7)
+
+
+def test_masked_solve_cg_matches_direct(rng):
+    from tpunmf.nnls import masked_solve, masked_solve_cg
+
+    l, p = 12, 30
+    c = rng.random((40, l))
+    ct_c = c.T @ c + 0.05 * np.eye(l)
+    ct_a = rng.standard_normal((l, p))
+    p_set = rng.random((l, p)) > 0.4
+    direct = np.asarray(masked_solve(ct_c, ct_a, p_set))
+    cg = np.asarray(masked_solve_cg(ct_c, ct_a, p_set))
+    np.testing.assert_allclose(cg, direct, rtol=1e-8, atol=1e-10)

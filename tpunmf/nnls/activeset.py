@@ -96,14 +96,62 @@ def masked_solve(ct_c, ct_a, p_set):
     return sol[:p].T
 
 
+def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0):
+    """Masked per-column solves via Jacobi-preconditioned CG.
+
+    Key identity: the masked matvec for EVERY column at once,
+    ``A_j v_j = m_j ⊙ (CtC @ (m_j ⊙ v_j)) + (1-m_j) ⊙ v_j``, is a single
+    dense (l, l) @ (l, p) GEMM plus elementwise masks — MXU-shaped, unlike
+    batched small Cholesky (measured ~6.5 GFLOP/s for (4096, 64, 64)
+    batched factorizations on v5e).  CG over SPD systems is exact after l
+    steps in exact arithmetic; ``iters`` defaults to l (+8 slack), giving
+    agreement with the direct solve to solver precision in f64 and ~1e-5
+    in f32.
+
+    Same signature/semantics as :func:`masked_solve`.
+    """
+    l, p = ct_a.shape
+    if iters == 0:
+        iters = l + 8
+    dtype = ct_a.dtype
+    m = p_set.astype(dtype)                       # (l, p)
+    b = m * ct_a
+    diag = m * jnp.diag(ct_c)[:, None] + (1.0 - m)  # Jacobi preconditioner
+
+    def matvec(v):
+        return m * (ct_c @ (m * v)) + (1.0 - m) * v
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = r / diag
+    pvec = z
+    rz = jnp.sum(r * z, axis=0)                   # (p,)
+
+    def body(t, carry):
+        x, r, pvec, rz = carry
+        ap = matvec(pvec)
+        denom = jnp.sum(pvec * ap, axis=0)
+        alpha = rz / jnp.where(denom == 0.0, 1.0, denom)
+        x = x + alpha[None, :] * pvec
+        r = r - alpha[None, :] * ap
+        z = r / diag
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        pvec = z + beta[None, :] * pvec
+        return (x, r, pvec, rz_new)
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, pvec, rz))
+    return x
+
+
 def _one_hot_cols(idx, l):
     """(p,) indices -> (l, p) bool one-hot."""
     return jax.nn.one_hot(idx, l, dtype=bool, axis=0)
 
 
-@partial(jax.jit, static_argnames=("max_outer", "inner_cap"))
+@partial(jax.jit, static_argnames=("max_outer", "inner_cap", "solve_method"))
 def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
-                   inner_cap: int = 0):
+                   inner_cap: int = 0, solve_method: str = "chol"):
     """Batched NNLS via masked active sets.
 
     Args:
@@ -116,9 +164,12 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
       max_outer: bound on outer optimality iterations (default 5*l + 10).
       inner_cap: shared feasibility-restoration budget, like the reference's
         ``iter_max = 3 * l_var`` (nmf/fcnnls.py:10); default 3*l.
+      solve_method: 'chol' (batched Cholesky, exact) or 'cg'
+        (GEMM-shaped CG, see masked_solve_cg — faster on TPU).
 
     Returns: (l, p) non-negative minimizer.
     """
+    _solve = masked_solve if solve_method == "chol" else masked_solve_cg
     l, p = ct_a.shape
     if max_outer == 0:
         max_outer = 5 * l + 10
@@ -134,7 +185,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         f_mask = ~jnp.all(p_set, axis=0)  # columns still active (step 6)
     else:
         p_set = p_set0
-        k = masked_solve(ct_c, ct_a, p_set)
+        k = _solve(ct_c, ct_a, p_set)
         d = jnp.maximum(k, 0.0)
         f_mask = jnp.ones((p,), dtype=bool)  # let optimality decide
 
@@ -154,7 +205,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         d_new = jnp.where(hit, 0.0, d_new)
         d = jnp.where(h_mask[None, :], d_new, d)
         p_set = jnp.logical_and(p_set, jnp.logical_not(hit))
-        k_new = masked_solve(ct_c, ct_a, p_set)
+        k_new = _solve(ct_c, ct_a, p_set)
         k = jnp.where(h_mask[None, :], k_new, k)
         h_mask = jnp.any(k < 0, axis=0)
         return (k, d, p_set, h_mask, it + 1)
@@ -165,7 +216,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
 
     def outer_body(c):
         k, d, p_set, f_mask, inner_it, it = c
-        k_new = masked_solve(ct_c, ct_a, p_set)
+        k_new = _solve(ct_c, ct_a, p_set)
         k = jnp.where(f_mask[None, :], k_new, k)
 
         # feasibility restoration (inner loop, fcnnls steps 10-13)

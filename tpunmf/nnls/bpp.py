@@ -26,12 +26,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .activeset import masked_solve, _one_hot_cols
+from .activeset import masked_solve, masked_solve_cg, _one_hot_cols
 
 
-@partial(jax.jit, static_argnames=("max_iter", "backup_budget"))
+@partial(jax.jit, static_argnames=("max_iter", "backup_budget", "solve_method"))
 def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
-             backup_budget: int = 3):
+             backup_budget: int = 3, solve_method: str = "chol"):
     """Batched NNLS via block principal pivoting.
 
     Args/returns as :func:`tpunmf.nnls.nnls_activeset` — interchangeable;
@@ -40,6 +40,7 @@ def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
     l, p = ct_a.shape
     if max_iter == 0:
         max_iter = 10 * l + 50
+    _solve = masked_solve if solve_method == "chol" else masked_solve_cg
 
     if f_set0 is None:
         # start from the all-active partition (x = 0, y = -CtA)
@@ -48,7 +49,7 @@ def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
         y = -ct_a
     else:
         f_set = f_set0
-        x = masked_solve(ct_c, ct_a, f_set)
+        x = _solve(ct_c, ct_a, f_set)
         y = jnp.where(f_set, 0.0, ct_c @ x - ct_a)
     ninf = jnp.full((p,), l + 1, dtype=jnp.int32)     # best |V| so far
     backup = jnp.full((p,), backup_budget, dtype=jnp.int32)
@@ -86,7 +87,7 @@ def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
         toggle = jnp.logical_and(toggle, active_cols[None, :])
         f_set = jnp.logical_xor(f_set, toggle)
 
-        x = masked_solve(ct_c, ct_a, f_set)
+        x = _solve(ct_c, ct_a, f_set)
         y = ct_c @ x - ct_a
         # y only meaningful on G; zero it on F for the infeasibility test
         y = jnp.where(f_set, 0.0, y)

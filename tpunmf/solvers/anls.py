@@ -47,6 +47,7 @@ from .common import (
         "k",
         "distance_type",
         "nnls_solver",
+        "solve_method",
         "min_iter",
         "max_iter",
         "use_pallas",
@@ -65,12 +66,14 @@ def _anls_block(
     k: int,
     distance_type: str,
     nnls_solver: str,
+    solve_method: str,
     min_iter: int,
     max_iter: int,
     use_pallas: bool,
     verbose: bool,
 ):
-    solve = nnls_bpp if nnls_solver == "bpp" else nnls_activeset
+    solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
+                    solve_method=solve_method)
     eye = jnp.eye(k, dtype=x.dtype)
 
     def step(inner, i):
@@ -99,11 +102,12 @@ def _anls_block(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "distance_type", "nnls_solver", "use_pallas"),
+    static_argnames=("k", "distance_type", "nnls_solver", "solve_method",
+                     "use_pallas"),
 )
 def _anls_iter(
     x, w, h, lambda_w, lambda_h, *, k: int, distance_type: str,
-    nnls_solver: str, use_pallas: bool,
+    nnls_solver: str, solve_method: str, use_pallas: bool,
 ):
     """One ANLS iteration as a standalone jit (host-driven loop).
 
@@ -111,7 +115,8 @@ def _anls_iter(
     solver's own while_loop (3-deep nesting) faults the TPU runtime — see
     docs/PERF.md.  Each call is nesting depth 2, which is stable.
     """
-    solve = nnls_bpp if nnls_solver == "bpp" else nnls_activeset
+    solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
+                    solve_method=solve_method)
     eye = jnp.eye(k, dtype=x.dtype)
     ct_c = h @ h.T + 2.0 * lambda_w * eye
     w = solve(ct_c, h @ x.T, w.T > 0).T
@@ -140,6 +145,7 @@ def anls(
     save_dir: str = "./results/",
     # --- extensions beyond the reference surface ---
     nnls_solver: str = "activeset",
+    masked_solver: Optional[str] = None,
     w_init=None,
     h_init=None,
     key=None,
@@ -161,6 +167,12 @@ def anls(
         raise KeyError("Unknown distance type.")
     if nnls_solver not in ("activeset", "bpp"):
         raise ValueError("nnls_solver must be 'activeset' or 'bpp'")
+    if masked_solver is None:
+        # GEMM-shaped CG maps far better to the MXU than batched small
+        # Cholesky; exact direct solves remain the CPU/parity default
+        masked_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+    if masked_solver not in ("chol", "cg"):
+        raise ValueError("masked_solver must be 'chol' or 'cg'")
 
     x = jnp.asarray(x)
     if use_pallas is None:
@@ -226,7 +238,7 @@ def anls(
             w, h, obj = _anls_iter(
                 x, w, h, lambda_w, lambda_h, k=k,
                 distance_type=distance_type, nnls_solver=nnls_solver,
-                use_pallas=use_pallas,
+                solve_method=masked_solver, use_pallas=use_pallas,
             )
             obj_history.append(float(obj))
             if verbose:
@@ -254,6 +266,7 @@ def anls(
         k=k,
         distance_type=distance_type,
         nnls_solver=nnls_solver,
+        solve_method=masked_solver,
         min_iter=min_iter,
         max_iter=max_iter,
         use_pallas=use_pallas,
