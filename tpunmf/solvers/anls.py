@@ -209,11 +209,12 @@ def anls(
         )
 
     if device_loop is None:
-        # the device while_loop wraps the NNLS while_loops (3-deep
-        # nesting), which faults this TPU runtime after a few iterations;
-        # the host-driven loop (depth 2 per jit call) is stable and has
-        # identical semantics (docs/PERF.md)
-        device_loop = jax.default_backend() != "tpu"
+        # batched-Cholesky masked solves inside the solver's while_loop
+        # (3-deep nesting) fault this TPU runtime after a few iterations;
+        # the GEMM-shaped CG solver has no such issue (measured stable and
+        # 5.6 it/s at 4096x2048 rank 64, docs/PERF.md), so the single
+        # device dispatch is kept whenever CG is in use
+        device_loop = (jax.default_backend() != "tpu") or (masked_solver == "cg")
 
     obj0 = distance(x, w @ h, distance_type)
 
