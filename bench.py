@@ -111,6 +111,12 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32):
 
 
 def main():
+    try:
+        from tpunmf.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
     r = bench_mur_eu()
     r16 = bench_mur_eu(data_dtype=jnp.bfloat16)
     print(json.dumps({

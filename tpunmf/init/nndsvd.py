@@ -106,7 +106,12 @@ def nndsvd(x, rank=None, variant: str = "zero", key=None, method: str = "auto",
         rank = x.shape[1]
 
     if method == "auto":
-        method = "randomized" if min(x.shape) > _AUTO_RSVD_THRESHOLD else "exact"
+        # exact SVD on TPU backends is dramatically slower (QDWH-based,
+        # minutes at MovieLens scale) than the GEMM-only randomized path,
+        # so the TPU threshold is much lower; CPU keeps exact SVD far out
+        # (parity runs live there — see the threshold comment above)
+        threshold = 2048 if jax.default_backend() == "tpu" else _AUTO_RSVD_THRESHOLD
+        method = "randomized" if min(x.shape) > threshold else "exact"
 
     if method == "randomized":
         from .rsvd import randomized_svd
