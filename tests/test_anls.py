@@ -99,3 +99,16 @@ def test_host_loop_matches_device_loop(lowrank_data):
     np.testing.assert_allclose(np.array(host.obj_history),
                                np.array(dev.obj_history), rtol=1e-12)
     np.testing.assert_allclose(host.w, dev.w, rtol=1e-12)
+
+
+def test_cg_masked_solver_matches_chol_trajectory(lowrank_data):
+    """ANLS with the GEMM-shaped CG inner solver reproduces the direct-solve
+    trajectory (f64: CG is exact to solver precision)."""
+    kw = dict(min_iter=3, max_iter=15, tol1=1e-10, tol2=1e-10,
+              nndsvd_init=(True, "zero"))
+    chol = anls(lowrank_data, 5, masked_solver="chol", **kw)
+    cg = anls(lowrank_data, 5, masked_solver="cg", **kw)
+    assert cg.i == chol.i
+    np.testing.assert_allclose(np.array(cg.obj_history),
+                               np.array(chol.obj_history), rtol=1e-8)
+    np.testing.assert_allclose(cg.w, chol.w, rtol=1e-6, atol=1e-9)
