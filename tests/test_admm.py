@@ -145,3 +145,14 @@ def test_bad_rho_mode_raises(lowrank_data):
 
     with pytest.raises(ValueError, match="rho_mode"):
         admm(lowrank_data, 4, rho_mode="bogus")
+
+
+def test_cg_spd_solver_matches_chol(lowrank_data):
+    """GEMM-shaped CG aux solves reproduce the Cholesky trajectory."""
+    kw = dict(distance_type="eu", reg_h=(0.05, "l1n"), min_iter=5,
+              max_iter=40, tol1=1e-10, tol2=1e-10, nndsvd_init=(True, "zero"))
+    a = admm(lowrank_data, 5, spd_solver="chol", **kw)
+    b = admm(lowrank_data, 5, spd_solver="cg", **kw)
+    assert a.i == b.i
+    np.testing.assert_allclose(np.array(b.obj_history),
+                               np.array(a.obj_history), rtol=1e-8)

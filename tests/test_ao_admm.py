@@ -70,3 +70,13 @@ def test_mixed_regularizers_converge(lowrank_data):
                   min_iter=10, max_iter=60, tol1=1e-6, tol2=1e-6)
     assert res.obj_history[-1] < res.obj_history[0]
     assert res.w.min() >= 0 and res.h.min() >= 0
+
+
+def test_cg_spd_solver_matches_chol(lowrank_data):
+    kw = dict(distance_type="eu", reg_h=(0, "l2n"), min_iter=5, max_iter=25,
+              admm_iter=10, tol1=1e-10, tol2=1e-10, nndsvd_init=(True, "zero"))
+    a = ao_admm(lowrank_data, 5, spd_solver="chol", **kw)
+    b = ao_admm(lowrank_data, 5, spd_solver="cg", **kw)
+    assert a.i == b.i
+    np.testing.assert_allclose(np.array(b.obj_history),
+                               np.array(a.obj_history), rtol=1e-7)

@@ -46,12 +46,14 @@ from .common import (
 )
 
 
-def _spd_solve(g, rho, b):
-    """Solve (g + rho*I) x = b via Cholesky; g is k x k PSD."""
+def _spd_solve(g, rho, b, method="chol"):
+    """Solve (g + rho*I) x = b; g is k x k PSD.  'cg' avoids the slow
+    TPU triangular-solve lowering (core/linalg.spd_solve)."""
+    from ..core.linalg import spd_solve
+
     k = g.shape[0]
     a = g + rho * jnp.eye(k, dtype=g.dtype)
-    cho = jax.scipy.linalg.cholesky(a, lower=True)
-    return jax.scipy.linalg.cho_solve((cho, True), b)
+    return spd_solve(a, b, method=method)
 
 
 def _objective(v, w, h, distance_type, use_pallas):
@@ -68,6 +70,7 @@ def _objective(v, w, h, distance_type, use_pallas):
         "prox_w",
         "prox_h",
         "rho_mode",
+        "spd_solver",
         "min_iter",
         "max_iter",
         "use_pallas",
@@ -89,6 +92,7 @@ def _admm_block(
     prox_w: str,
     prox_h: str,
     rho_mode: str,
+    spd_solver: str,
     min_iter: int,
     max_iter: int,
     use_pallas: bool,
@@ -106,9 +110,10 @@ def _admm_block(
         w, h, w_aux, h_aux, dual_w, dual_h, rho = inner
         w_prev, h_prev = w, h
         # aux updates (nmf/admm.py:216-230,294-297)
-        h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ v + rho * (h + dual_h))
+        h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ v + rho * (h + dual_h), spd_solver)
         w_aux = _spd_solve(
-            h_aux @ h_aux.T, rho, h_aux @ v.T + rho * (w.T + dual_w.T)
+            h_aux @ h_aux.T, rho, h_aux @ v.T + rho * (w.T + dual_w.T),
+            spd_solver,
         ).T
         # prox steps (nmf/admm.py:299-301)
         h = prox(prox_h, h_aux, dual_h, rho=rho, lambda_=lambda_h)
@@ -129,9 +134,10 @@ def _admm_block(
         w_prev, h_prev = w, h
         # aux updates against the split data term (nmf/admm.py:303-306)
         vd = v_aux + dual_v
-        h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ vd + rho * (h + dual_h))
+        h_aux = _spd_solve(w_aux.T @ w_aux, rho, w_aux.T @ vd + rho * (h + dual_h), spd_solver)
         w_aux = _spd_solve(
-            h_aux @ h_aux.T, rho, h_aux @ vd.T + rho * (w.T + dual_w.T)
+            h_aux @ h_aux.T, rho, h_aux @ vd.T + rho * (w.T + dual_w.T),
+            spd_solver,
         ).T
         h = prox(prox_h, h_aux, dual_h, rho=rho, lambda_=lambda_h)
         w = prox(prox_w, w_aux.T, dual_w.T, rho=rho, lambda_=lambda_w).T
@@ -177,6 +183,7 @@ def admm(
     rho_mode: str = "fixed",
     rho_tau: float = 2.0,
     rho_mu: float = 10.0,
+    spd_solver=None,
     w_init=None,
     h_init=None,
     key=None,
@@ -197,6 +204,12 @@ def admm(
         raise TypeError("Unknown loss type.")
     if rho_mode not in ("fixed", "adaptive"):
         raise ValueError("rho_mode must be 'fixed' or 'adaptive'")
+    if spd_solver is None:
+        # CG (GEMM-shaped) avoids the slow TPU triangular-solve lowering;
+        # exact Cholesky stays the CPU/parity default (core/linalg.py)
+        spd_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+    if spd_solver not in ("chol", "cg"):
+        raise ValueError("spd_solver must be 'chol' or 'cg'")
 
     v = jnp.asarray(v)
     if use_pallas is None:
@@ -249,6 +262,7 @@ def admm(
         prox_w=reg_w[1],
         prox_h=reg_h[1],
         rho_mode=rho_mode,
+        spd_solver=spd_solver,
         min_iter=min_iter,
         max_iter=max_iter,
         use_pallas=use_pallas,

@@ -44,6 +44,18 @@ def _chol(g, rho):
     return jax.scipy.linalg.cholesky(g + rho * jnp.eye(k, dtype=g.dtype), lower=True)
 
 
+def _subproblem_solve(g, rho, cho, b, method):
+    """Inner normal-equation solve: reuse the Cholesky ('chol', the
+    reference's structure, nmf/ao_admm.py:55-59) or GEMM-shaped CG ('cg',
+    fast on TPU — core/linalg.py)."""
+    if method == "chol":
+        return jax.scipy.linalg.cho_solve((cho, True), b)
+    from ..core.linalg import spd_solve
+
+    k = g.shape[0]
+    return spd_solve(g + rho * jnp.eye(k, dtype=g.dtype), b, method="cg")
+
+
 def _terminated(h, h_prev, h_aux, dual):
     """Reference terminate() (nmf/ao_admm.py:33-43): relative primal/dual
     residuals both below 1e-2.  Zero-norm duals give inf/nan -> False,
@@ -53,11 +65,12 @@ def _terminated(h, h_prev, h_aux, dual):
     return jnp.logical_and(r < _INNER_TOL, s < _INNER_TOL)
 
 
-def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_):
+def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
+                    spd_solver="chol"):
     """Least-squares inner ADMM (nmf/ao_admm.py:46-68), jit-friendly."""
     g = w.T @ w
     rho = jnp.trace(g) / k
-    cho = _chol(g, rho)
+    cho = _chol(g, rho) if spd_solver == "chol" else None
     wty = w.T @ y
 
     def cond(c):
@@ -66,7 +79,7 @@ def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_):
 
     def body(c):
         j, h, dual, _ = c
-        h_aux = jax.scipy.linalg.cho_solve((cho, True), wty + rho * (h + dual))
+        h_aux = _subproblem_solve(g, rho, cho, wty + rho * (h + dual), spd_solver)
         h_prev = h
         h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_)
         dual = dual + h - h_aux
@@ -78,11 +91,12 @@ def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_):
     return h, dual
 
 
-def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter, lambda_):
+def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
+                    lambda_, spd_solver="chol"):
     """KL inner ADMM with data-term split (nmf/ao_admm.py:71-101)."""
     g = w.T @ w
     rho = jnp.trace(g) / k
-    cho = _chol(g, rho)
+    cho = _chol(g, rho) if spd_solver == "chol" else None
 
     def cond(c):
         j = c[0]
@@ -91,8 +105,8 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter, lam
 
     def body(c):
         j, h, dual_h, v_aux, dual_v, _ = c
-        h_aux = jax.scipy.linalg.cho_solve(
-            (cho, True), w.T @ (v_aux + dual_v) + rho * (h + dual_h)
+        h_aux = _subproblem_solve(
+            g, rho, cho, w.T @ (v_aux + dual_v) + rho * (h + dual_h), spd_solver
         )
         h_prev = h
         h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_)
@@ -120,6 +134,7 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter, lam
         "distance_type",
         "prox_w",
         "prox_h",
+        "spd_solver",
         "min_iter",
         "max_iter",
         "admm_iter",
@@ -140,6 +155,7 @@ def _ao_admm_block(
     distance_type: str,
     prox_w: str,
     prox_h: str,
+    spd_solver: str,
     min_iter: int,
     max_iter: int,
     admm_iter: int,
@@ -148,9 +164,10 @@ def _ao_admm_block(
 ):
     def step_eu(inner, i):
         w, h, dual_w, dual_h = inner
-        h, dual_h = _admm_ls_update(v, w, h, dual_h, k, prox_h, admm_iter, lambda_h)
+        h, dual_h = _admm_ls_update(v, w, h, dual_h, k, prox_h, admm_iter,
+                                    lambda_h, spd_solver)
         wt, dual_wt = _admm_ls_update(
-            v.T, h.T, w.T, dual_w.T, k, prox_w, admm_iter, lambda_w
+            v.T, h.T, w.T, dual_w.T, k, prox_w, admm_iter, lambda_w, spd_solver
         )
         w, dual_w = wt.T, dual_wt.T
         obj = eu_residual_obj(v, w, h, use_pallas=use_pallas)
@@ -159,11 +176,12 @@ def _ao_admm_block(
     def step_kl(inner, i):
         w, h, dual_w, dual_h, v_aux, dual_v = inner
         h, dual_h, v_aux, dual_v = _admm_kl_update(
-            v, v_aux, dual_v, w, h, dual_h, k, prox_h, admm_iter, lambda_h
+            v, v_aux, dual_v, w, h, dual_h, k, prox_h, admm_iter, lambda_h,
+            spd_solver,
         )
         wt, dual_wt, v_auxt, dual_vt = _admm_kl_update(
             v.T, v_aux.T, dual_v.T, h.T, w.T, dual_w.T, k, prox_w, admm_iter,
-            lambda_w,
+            lambda_w, spd_solver,
         )
         w, dual_w, v_aux, dual_v = wt.T, dual_wt.T, v_auxt.T, dual_vt.T
         _, obj = kl_ratio_and_obj(v, w, h, use_pallas=use_pallas)
@@ -191,6 +209,7 @@ def ao_admm(
     nndsvd_init=(True, "zero"),
     save_dir: str = "./results/",
     # --- extensions beyond the reference surface ---
+    spd_solver=None,
     w_init=None,
     h_init=None,
     key=None,
@@ -209,6 +228,10 @@ def ao_admm(
     """
     if distance_type not in ("eu", "kl"):
         raise TypeError("Unknown loss function type.")
+    if spd_solver is None:
+        spd_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+    if spd_solver not in ("chol", "cg"):
+        raise ValueError("spd_solver must be 'chol' or 'cg'")
 
     v = jnp.asarray(v)
     if use_pallas is None:
@@ -261,6 +284,7 @@ def ao_admm(
         distance_type=distance_type,
         prox_w=reg_w[1],
         prox_h=reg_h[1],
+        spd_solver=spd_solver,
         min_iter=min_iter,
         max_iter=max_iter,
         admm_iter=admm_iter,
