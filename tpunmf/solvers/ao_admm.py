@@ -229,7 +229,11 @@ def ao_admm(
     if distance_type not in ("eu", "kl"):
         raise TypeError("Unknown loss function type.")
     if spd_solver is None:
-        spd_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+        # unlike flat ADMM, putting the CG fori inside the inner-ADMM
+        # while inside the solver while (4-deep) stalls TPU compilation;
+        # the reused k x k Cholesky is fine here (21 it/s measured) since
+        # it factorizes once per OUTER iteration (nmf/ao_admm.py:55)
+        spd_solver = "chol"
     if spd_solver not in ("chol", "cg"):
         raise ValueError("spd_solver must be 'chol' or 'cg'")
 
