@@ -103,3 +103,15 @@ def test_masked_solve_cg_matches_direct(rng):
     direct = np.asarray(masked_solve(ct_c, ct_a, p_set))
     cg = np.asarray(masked_solve_cg(ct_c, ct_a, p_set))
     np.testing.assert_allclose(cg, direct, rtol=1e-8, atol=1e-10)
+
+
+def test_spd_solve_cg_matches_chol(rng):
+    from tpunmf.core.linalg import spd_solve
+
+    k, p = 24, 40
+    g = rng.random((60, k))
+    a = g.T @ g + 0.5 * np.eye(k)
+    b = rng.standard_normal((k, p))
+    direct = np.asarray(spd_solve(a, b, method="chol"))
+    cg = np.asarray(spd_solve(a, b, method="cg"))
+    np.testing.assert_allclose(cg, direct, rtol=1e-9, atol=1e-11)
