@@ -128,3 +128,40 @@ def test_sharded_streaming_kl_matches_incore(rng):
         np.array(sharded.obj_history), np.array(incore.obj_history), rtol=1e-8
     )
     np.testing.assert_allclose(sharded.w, incore.w, rtol=1e-8)
+
+
+def test_sharded_streaming_default_row_block_small_m(rng):
+    """Review finding: default row_block (8192) with m < row_block must not
+    crash (PanelStream clamps; the driver must use the clamped value)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+    from tpunmf.solvers.streaming_sharded import mur_streaming_sharded
+
+    dense = np.round(rng.random((72, 96)) * 256) / 256
+    csr = sp.csr_matrix(dense)
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    res = mur_streaming_sharded(csr, 4, mesh, min_iter=2, max_iter=8,
+                                tol1=1e-9, tol2=1e-9)  # default row_block
+    assert np.isfinite(res.obj_history[-1])
+
+
+def test_streaming_coo_duplicates(rng):
+    """Review finding: COO duplicate coordinates are summed by the panel
+    path; the gram-trick objective must use the deduplicated values."""
+    rows = np.array([0, 0, 1, 2, 2, 2])
+    cols = np.array([1, 1, 0, 3, 3, 2])
+    vals = np.array([1.0, 2.0, 3.0, 0.5, 0.25, 1.0])
+    coo = sp.coo_matrix((vals, (rows, cols)), shape=(8, 8))
+    dense = coo.toarray()
+    w0 = rng.random((8, 2)) + 0.1
+    h0 = rng.random((2, 8)) + 0.1
+    kw = dict(distance_type="eu", min_iter=2, max_iter=10, tol1=1e-12,
+              tol2=1e-12)
+    a = mur_streaming(coo, 2, w_init=w0, h_init=h0, row_block=4,
+                      col_panel=4, dtype=np.float64, **kw)
+    b = mur(dense, 2, w_init=w0, h_init=h0, **kw)
+    np.testing.assert_allclose(np.array(a.obj_history),
+                               np.array(b.obj_history), rtol=1e-8)

@@ -178,7 +178,9 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
 
     if p_set0 is None:
         # unconstrained seed + initial passive sets (fcnnls steps 4-7)
-        k0 = jnp.linalg.solve(ct_c, ct_a)
+        from ..core.linalg import spd_solve
+
+        k0 = spd_solve(ct_c, ct_a, method=solve_method)
         p_set = k0 > 0
         k = jnp.where(p_set, k0, 0.0)
         d = k
@@ -188,6 +190,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         k = _solve(ct_c, ct_a, p_set)
         d = jnp.maximum(k, 0.0)
         f_mask = jnp.ones((p,), dtype=bool)  # let optimality decide
+    warm = p_set0 is not None
 
     def inner_cond(c):
         _, _, _, h_mask, it = c
@@ -216,7 +219,14 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
 
     def outer_body(c):
         k, d, p_set, f_mask, inner_it, it = c
-        k_new = _solve(ct_c, ct_a, p_set)
+        if warm:
+            # warm start: iteration 0's solve already happened at init
+            # (p_set unchanged) — skip the redundant batched solve
+            k_new = jax.lax.cond(
+                it == 0, lambda: k, lambda: _solve(ct_c, ct_a, p_set)
+            )
+        else:
+            k_new = _solve(ct_c, ct_a, p_set)
         k = jnp.where(f_mask[None, :], k_new, k)
 
         # feasibility restoration (inner loop, fcnnls steps 10-13)
@@ -225,10 +235,21 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
             inner_cond, inner_body, (k, d, p_set, h_mask, inner_it)
         )
 
-        # optimality via dual w = CtA - CtC @ K (fcnnls step, nmf/fcnnls.py:124-127)
+        # optimality via dual w = CtA - CtC @ K (fcnnls step, nmf/fcnnls.py:124-127).
+        # The exact <= 0 test matches the reference's LAPACK-exact solves;
+        # the CG path carries ~solver-tolerance noise in the duals, so
+        # degenerate (~0) duals need a scale-relative epsilon or columns
+        # cycle until max_outer.
         w_grad = ct_a - ct_c @ k
         grad_off = jnp.where(p_set, 0.0, w_grad)
-        optimal = jnp.all(grad_off <= 0, axis=0)
+        if solve_method == "cg":
+            # ~100 ulps at the working precision: f32 gets ~1e-5 relative
+            # slack (CG noise floor), f64 stays effectively exact
+            eps = jnp.finfo(ct_a.dtype).eps
+            opt_tol = 100.0 * eps * (jnp.max(jnp.abs(ct_a), axis=0) + 1e-30)
+        else:
+            opt_tol = jnp.zeros((p,), dtype=ct_a.dtype)
+        optimal = jnp.all(grad_off <= opt_tol[None, :], axis=0)
         f_mask = jnp.logical_and(f_mask, jnp.logical_not(optimal))
 
         # grow passive set with the steepest off-set gradient per column

@@ -232,9 +232,21 @@ def anls(
             done = int(saved["i"])
             state = {"w": w, "h": h, "i": done,
                      "obj_history": list(saved["obj_buf"][: done + 2])}
+        from types import SimpleNamespace
+
+        def write_checkpoint(i, w, h, obj_history):
+            buf = np.zeros(max_iter + 1)
+            buf[: len(obj_history)] = obj_history
+            save_state(checkpoint_path,
+                       {"w": np.asarray(w), "h": np.asarray(h),
+                        "obj_buf": buf, "i": np.int64(i)},
+                       meta=repr(experiment))
+
         i = state["i"]
         obj_history = state["obj_history"]
         every = checkpoint_every or 500
+        cb_every = block_size or every
+        converged_flag = False
         for i in range(state["i"] + 1, max_iter):
             w, h, obj = _anls_iter(
                 x, w, h, lambda_w, lambda_h, k=k,
@@ -245,16 +257,22 @@ def anls(
             if verbose:
                 print(f"[{i}]: {obj_history[-1]}")
             if checkpoint_path and (i + 1) % every == 0:
-                buf = np.zeros(max_iter + 1)
-                buf[: len(obj_history)] = obj_history
-                save_state(checkpoint_path,
-                           {"w": np.asarray(w), "h": np.asarray(h),
-                            "obj_buf": buf, "i": np.int64(i)},
-                           meta=repr(experiment))
-            if i > min_iter and convergence_check(
+                write_checkpoint(i, w, h, obj_history)
+            converged_flag = i > min_iter and convergence_check(
                 obj_history[-1], obj_history[-2], tol1, tol2
+            )
+            if on_block_end is not None and (
+                (i + 1) % cb_every == 0 or converged_flag or i == max_iter - 1
             ):
+                # shim mirroring the LoopCarry fields callbacks consume
+                on_block_end(SimpleNamespace(
+                    i=i + 1, obj=obj_history[-1], converged=converged_flag,
+                    obj_buf=np.asarray(obj_history), inner=(w, h),
+                ))
+            if converged_flag:
                 break
+        if checkpoint_path:
+            write_checkpoint(i, w, h, obj_history)  # final state
         return Results(
             w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
             experiment=experiment,

@@ -175,7 +175,8 @@ def mur_streaming(
 
     Same update mathematics and convergence semantics as ``mur``; designed
     for V beyond device HBM (only W, H, one panel, and k x k Grams are
-    resident on device).
+    resident on device).  Panels are densified in float32 by the host
+    panelizer regardless of ``dtype`` (which governs factors/accumulators).
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
@@ -200,7 +201,8 @@ def mur_streaming(
         lambda_w=lambda_w, lambda_h=lambda_h,
     )
 
-    xsq = float(np.sum(np.asarray(x_sparse.data, dtype=np.float64) ** 2))
+    # from the deduplicated CSR (COO duplicate coordinates sum there)
+    xsq = float(np.sum(np.asarray(p.stream.csr.data, dtype=np.float64) ** 2))
 
     def streamed_xht(h, kl_with_w=None):
         """sum_j X_panel @ h_panel^T per row block (EU), or the KL ratio

@@ -45,7 +45,21 @@ from ..init import random_init
 _EPS = 1e-9
 
 
-@partial(jax.jit, static_argnames=())
+# one canonical copy of the MUR update/accumulation math lives in
+# streaming.py (and the Gram objective in core.losses) — reused here so
+# the sharded solver cannot drift from the in-core semantics
+from ..core.losses import eu_objective_gram as _eu_objective_gram
+from .streaming import (
+    _acc_kl_obj as _acc_block_kl_obj,
+    _acc_kl_wtr as _acc_block_kl_wtr,
+    _mur_h_update_eu as _h_update,
+    _mur_h_update_kl as _h_update_kl,
+    _mur_w_update_eu as _w_update,
+    _mur_w_update_kl as _w_update_kl,
+)
+
+
+@jax.jit
 def _gram_h(h):
     return h @ h.T
 
@@ -61,20 +75,8 @@ def _acc_block_wtx(wtx, w_block, x_block):
 
 
 @jax.jit
-def _w_update(w, numer, gram_h, lambda_w):
-    return w * numer / (w @ gram_h + lambda_w * w + _EPS)
-
-
-@jax.jit
-def _h_update(h, wtx, gram_w, lambda_h):
-    return h * wtx / (gram_w @ h + lambda_h * h + _EPS)
-
-
-@jax.jit
 def _gram_obj(xsq, wtx, gram_w, h):
-    cross = jnp.vdot(h, wtx)
-    quad = jnp.vdot(gram_w, h @ h.T)
-    return 0.5 * (xsq - 2.0 * cross + quad)
+    return _eu_objective_gram(xsq, wtx, gram_w, h)
 
 
 @jax.jit
@@ -82,35 +84,6 @@ def _block_kl_rht(x_block, w_block, h):
     """(x/(wh+eps)) @ h^T for one row block; psum over sharded cols."""
     r = x_block / (w_block @ h + _EPS)
     return r @ h.T
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _acc_block_kl_wtr(acc, x_block, w_block, h):
-    r = x_block / (w_block @ h + _EPS)
-    return acc + w_block.T @ r
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _acc_block_kl_obj(obj, x_block, w_block, h):
-    wh = w_block @ h
-    val = x_block * jnp.log(x_block / wh)
-    val = jnp.where(val == jnp.inf, 0.0, val)
-    val = jnp.where(jnp.isnan(val), 0.0, val)
-    return obj + jnp.sum(val - x_block + wh)
-
-
-@jax.jit
-def _w_update_kl(w, numer, h, lambda_w):
-    b = jnp.sum(h, axis=1)[None, :]
-    a = w * numer
-    return 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
-
-
-@jax.jit
-def _h_update_kl(h, numer, w, lambda_h):
-    d = jnp.sum(w, axis=0)[:, None]
-    c = h * numer
-    return 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
 
 
 def mur_streaming_sharded(
@@ -135,7 +108,10 @@ def mur_streaming_sharded(
     """MUR (EU or KL) with column-sharded H and row-block-streamed V.
 
     Args:
-      x_sparse: scipy sparse matrix (any format).
+      x_sparse: scipy sparse matrix (any format; duplicate COO entries are
+        summed).  NOTE: panels are densified in float32 by the host
+        panelizer regardless of ``dtype`` — ``dtype`` governs the factors
+        and accumulators only.
       mesh: mesh with a 'cols' axis; n must divide by its size.
     """
     if distance_type not in ("eu", "kl"):
@@ -153,6 +129,7 @@ def mur_streaming_sharded(
     replicated = NamedSharding(mesh, P())
 
     stream = PanelStream(x_sparse, row_block=row_block, col_panel=col_shard)
+    row_block = stream.row_block  # PanelStream clamps to m; use its value
     rb = stream.grid[0]
 
     if (w_init is None) != (h_init is None):
@@ -173,7 +150,9 @@ def mur_streaming_sharded(
         nndsvd_init=(False, "zero"), max_iter=max_iter, tol1=tol1, tol2=tol2,
         lambda_w=lambda_w, lambda_h=lambda_h,
     )
-    xsq = float(np.sum(np.asarray(x_sparse.data, dtype=np.float64) ** 2))
+    # xsq from the CSR the panels come from: duplicate COO coordinates are
+    # summed there, so summing raw input data**2 would disagree
+    xsq = float(np.sum(np.asarray(stream.csr.data, dtype=np.float64) ** 2))
 
     def x_block(i):
         """Row block i as a column-sharded global array; the callback runs
@@ -258,7 +237,14 @@ def mur_streaming_sharded(
         ):
             break
 
+    if jax.process_count() > 1:
+        # h spans non-addressable devices on multi-host runs
+        from jax.experimental import multihost_utils
+
+        h_np = np.asarray(multihost_utils.process_allgather(h, tiled=True))
+    else:
+        h_np = np.asarray(h)
     return Results(
-        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        w=np.asarray(w), h=h_np, i=i, obj_history=obj_history,
         experiment=experiment,
     )
