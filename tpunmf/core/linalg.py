@@ -27,6 +27,7 @@ def spd_solve(a, b, *, method: str = "chol", cg_iters: int = 0):
     k = a.shape[0]
     iters = cg_iters or (k + 8)
     diag = jnp.diag(a)[:, None]
+    diag = jnp.where(diag <= 0.0, 1.0, diag)  # singular-Gram guard
 
     x = jnp.zeros_like(b)
     r = b

@@ -37,8 +37,10 @@ def grid_search(
         params = dict(lambda_w=lw, lambda_h=lh, **fixed_params)
         if method in ("admm", "ao_admm"):
             # map scalar lambdas onto the (value, type) reg tuples
+            # fallback types match the solvers' own defaults
+            # (admm/ao_admm: reg_w=(0,'nn'), reg_h=(0,'l2n'))
             reg_w = fixed_params.get("reg_w", (lw, "nn"))
-            reg_h = fixed_params.get("reg_h", (lh, "nn"))
+            reg_h = fixed_params.get("reg_h", (lh, "l2n"))
             params = {k_: v for k_, v in fixed_params.items()
                       if k_ not in ("reg_w", "reg_h")}
             params.update(reg_w=(lw, reg_w[1]), reg_h=(lh, reg_h[1]))

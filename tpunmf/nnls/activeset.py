@@ -117,6 +117,7 @@ def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0):
     m = p_set.astype(dtype)                       # (l, p)
     b = m * ct_a
     diag = m * jnp.diag(ct_c)[:, None] + (1.0 - m)  # Jacobi preconditioner
+    diag = jnp.where(diag <= 0.0, 1.0, diag)        # singular-Gram guard
 
     def matvec(v):
         return m * (ct_c @ (m * v)) + (1.0 - m) * v

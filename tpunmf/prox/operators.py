@@ -125,6 +125,39 @@ def prox_l1inf_transpose(mat_aux, dual, *, rho, lambda_, upper_bound=1.0):
     ).T
 
 
+def prox_l1inf_ball(z, *, rho, lambda_, upper_bound=1.0):
+    """Correct row-wise prox of ``lambda ||x||_1 + i{x >= 0, sum(x) <= ub}``
+    at point ``z`` (penalty rho): ``x = max(z - lambda/rho - theta/rho, 0)``
+    with the water level theta chosen so each over-budget row lands exactly
+    on the l1 ball.
+
+    This is the self-consistent re-derivation of the reference's
+    ``local_sparsity`` water-filling (nmf/ao_admm_local_sparsity.py:159-186)
+    used by the coupled local-sparsity solver — unlike :func:`prox_l1inf`
+    it evaluates every term at the same point ``z`` (the reference mixes
+    ``mat_aux + dual`` and ``mat_aux - dual``, a preserved parity bug) and
+    its theta is exact, so the output is always bounded by the budget.
+    """
+    n = z.shape[1]
+    lam = lambda_ / rho
+
+    pos = jnp.maximum(z - lam, 0.0)
+    fits = jnp.sum(pos, axis=1, keepdims=True) <= upper_bound
+
+    val = -jnp.sort(-z, axis=1)  # descending
+    cums = jnp.cumsum(val, axis=1)
+    j = jnp.arange(1, n + 1, dtype=z.dtype)[None, :]
+    # theta_j solves sum_{i<=j} (val_i - lam - theta/rho) = ub
+    theta_j = (rho * (cums - upper_bound) - j * lambda_) / j
+    active = val - lam - theta_j / rho > 0  # true on a prefix
+    jstar = jnp.maximum(jnp.sum(active, axis=1), 1)  # >= 1 for non-fit rows
+    theta = jnp.take_along_axis(theta_j, (jstar - 1)[:, None], axis=1)
+    theta = jnp.maximum(theta, 0.0)
+
+    shrink = jnp.maximum(z - lam - theta / rho, 0.0)
+    return jnp.where(fits, pos, shrink)
+
+
 def prox(prox_type: str, mat_aux, dual, *, rho=None, lambda_=None, upper_bound=1.0):
     """String-dispatched proximal operator (reference signature,
     nmf/admm.py:117).  ``prox_type`` must be static under jit."""

@@ -116,9 +116,11 @@ def recall_at_k(pred_idx, true_idx) -> float:
     pred = np.asarray(pred_idx)
     true = np.asarray(true_idx)
     hits = 0.0
+    evaluated = 0
     for p_row, t_row in zip(pred, true):
         t = set(int(i) for i in t_row if i >= 0)
         if not t:
-            continue
+            continue  # all-padding truth rows are excluded from the mean
+        evaluated += 1
         hits += len(t.intersection(int(i) for i in p_row)) / len(t)
-    return hits / len(pred)
+    return hits / evaluated if evaluated else 0.0

@@ -152,9 +152,10 @@ def _admm_block(
         sres = rho * jnp.sqrt(
             jnp.sum((h - h_prev) ** 2) + jnp.sum((w - w_prev) ** 2)
         )
-        rho, (dual_w, dual_h, dual_v) = _balance(
-            rho, r, sres, (dual_w, dual_h, dual_v)
-        )
+        # dual_v is NOT rescaled: the v-split prox (above) carries a unit
+        # penalty independent of rho (nmf/admm.py:312-313), so its scaled
+        # dual does not change coordinates when rho does
+        rho, (dual_w, dual_h) = _balance(rho, r, sres, (dual_w, dual_h))
         obj = _objective(v, w, h, "kl", use_pallas)
         return (w, h, w_aux, h_aux, dual_w, dual_h, v_aux, dual_v, rho), obj
 

@@ -134,6 +134,8 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
         "distance_type",
         "prox_w",
         "prox_h",
+        "rho_mode",
+        "local_sparsity",
         "spd_solver",
         "min_iter",
         "max_iter",
@@ -150,11 +152,16 @@ def _ao_admm_block(
     tol2,
     lambda_w,
     lambda_h,
+    tau,
+    eta,
+    upper_bound,
     *,
     k: int,
     distance_type: str,
     prox_w: str,
     prox_h: str,
+    rho_mode: str,
+    local_sparsity: bool,
     spd_solver: str,
     min_iter: int,
     max_iter: int,
@@ -162,32 +169,96 @@ def _ao_admm_block(
     use_pallas: bool,
     verbose: bool,
 ):
+    adaptive = rho_mode == "adaptive"
+
+    def ls_update(y, w, h, dual):
+        if adaptive:
+            from .ao_admm_local import admm_ls_update_adaptive
+
+            return admm_ls_update_adaptive(
+                y, w, h, dual, k, prox_h, admm_iter, lambda_h, spd_solver,
+                tau, eta,
+            )
+        return _admm_ls_update(y, w, h, dual, k, prox_h, admm_iter, lambda_h,
+                               spd_solver)
+
+    def ls_update_w(y, hh, w, dual, ptype, lam):
+        if adaptive:
+            from .ao_admm_local import admm_ls_update_adaptive
+
+            return admm_ls_update_adaptive(
+                y, hh, w, dual, k, ptype, admm_iter, lam, spd_solver, tau, eta,
+            )
+        return _admm_ls_update(y, hh, w, dual, k, ptype, admm_iter, lam,
+                               spd_solver)
+
+    def kl_update(vv, v_aux, dual_v, w, h, dual_h, ptype, lam):
+        if adaptive:
+            from .ao_admm_local import admm_kl_update_adaptive
+
+            return admm_kl_update_adaptive(
+                vv, v_aux, dual_v, w, h, dual_h, k, ptype, admm_iter, lam,
+                spd_solver, tau, eta,
+            )
+        return _admm_kl_update(vv, v_aux, dual_v, w, h, dual_h, k, ptype,
+                               admm_iter, lam, spd_solver)
+
     def step_eu(inner, i):
         w, h, dual_w, dual_h = inner
-        h, dual_h = _admm_ls_update(v, w, h, dual_h, k, prox_h, admm_iter,
-                                    lambda_h, spd_solver)
-        wt, dual_wt = _admm_ls_update(
-            v.T, h.T, w.T, dual_w.T, k, prox_w, admm_iter, lambda_w, spd_solver
-        )
+        h, dual_h = ls_update(v, w, h, dual_h)
+        wt, dual_wt = ls_update_w(v.T, h.T, w.T, dual_w.T, prox_w, lambda_w)
         w, dual_w = wt.T, dual_wt.T
         obj = eu_residual_obj(v, w, h, use_pallas=use_pallas)
         return (w, h, dual_w, dual_h), obj
 
     def step_kl(inner, i):
         w, h, dual_w, dual_h, v_aux, dual_v = inner
-        h, dual_h, v_aux, dual_v = _admm_kl_update(
-            v, v_aux, dual_v, w, h, dual_h, k, prox_h, admm_iter, lambda_h,
-            spd_solver,
+        h, dual_h, v_aux, dual_v = kl_update(
+            v, v_aux, dual_v, w, h, dual_h, prox_h, lambda_h
         )
-        wt, dual_wt, v_auxt, dual_vt = _admm_kl_update(
-            v.T, v_aux.T, dual_v.T, h.T, w.T, dual_w.T, k, prox_w, admm_iter,
-            lambda_w, spd_solver,
+        wt, dual_wt, v_auxt, dual_vt = kl_update(
+            v.T, v_aux.T, dual_v.T, h.T, w.T, dual_w.T, prox_w, lambda_w
         )
         w, dual_w, v_aux, dual_v = wt.T, dual_wt.T, v_auxt.T, dual_vt.T
         _, obj = kl_ratio_and_obj(v, w, h, use_pallas=use_pallas)
         return (w, h, dual_w, dual_h, v_aux, dual_v), obj
 
-    step = step_kl if distance_type == "kl" else step_eu
+    def step_local_eu(inner, i):
+        # local-sparsity variant (nmf/ao_admm_local_sparsity.py:368-376):
+        # standard inner ADMM on H, coupled two-block l1inf update on W
+        # (the W-update re-initializes its own data split each entry —
+        # see ao_admm_local.admm_local_sparsity_update)
+        from .ao_admm_local import admm_local_sparsity_update
+
+        w, h, w_aux, dual_w, dual_h = inner
+        h, dual_h = ls_update(v, w, h, dual_h)
+        w, w_aux, dual_w = admm_local_sparsity_update(
+            v, w, w_aux, dual_w, h, k, admm_iter, lambda_w,
+            upper_bound, adaptive, tau, eta, spd_solver,
+        )
+        obj = eu_residual_obj(v, w, h, use_pallas=use_pallas)
+        return (w, h, w_aux, dual_w, dual_h), obj
+
+    def step_local_kl(inner, i):
+        # KL: H via the data-split inner ADMM (its own v_aux/dual_v), W
+        # via the coupled update (nmf/ao_admm_local_sparsity.py:378-385)
+        from .ao_admm_local import admm_local_sparsity_update
+
+        w, h, w_aux, dual_w, dual_h, v_aux, dual_v = inner
+        h, dual_h, v_aux, dual_v = kl_update(
+            v, v_aux, dual_v, w, h, dual_h, prox_h, lambda_h
+        )
+        w, w_aux, dual_w = admm_local_sparsity_update(
+            v, w, w_aux, dual_w, h, k, admm_iter, lambda_w,
+            upper_bound, adaptive, tau, eta, spd_solver,
+        )
+        _, obj = kl_ratio_and_obj(v, w, h, use_pallas=use_pallas)
+        return (w, h, w_aux, dual_w, dual_h, v_aux, dual_v), obj
+
+    if local_sparsity:
+        step = step_local_kl if distance_type == "kl" else step_local_eu
+    else:
+        step = step_kl if distance_type == "kl" else step_eu
     return while_block(
         step, carry, stop_i, tol1, tol2,
         min_iter=min_iter, max_iter=max_iter, verbose=verbose,
@@ -209,6 +280,13 @@ def ao_admm(
     nndsvd_init=(True, "zero"),
     save_dir: str = "./results/",
     # --- extensions beyond the reference surface ---
+    rho_mode: str = "fixed",
+    rho_tau: float = 2.0,
+    # eta follows Boyd §3.4.1 (mu=10); the reference's eta=1
+    # (nmf/ao_admm_local_sparsity.py:122) triggers a rho move on any
+    # imbalance and demonstrably diverges
+    rho_eta: float = 10.0,
+    upper_bound: float = 1.0,
     spd_solver=None,
     w_init=None,
     h_init=None,
@@ -225,9 +303,22 @@ def ao_admm(
 
     Reference-compatible keyword surface (nmf/ao_admm.py:201-203) plus
     explicit init, PRNG key, Pallas toggle and blocked execution.
+
+    ``rho_mode='adaptive'`` enables residual-balancing rho adaptation
+    inside the inner ADMM loops; combined with ``reg_w=(lambda, 'l1inf')``
+    it selects the local-sparsity variant — the coupled two-block
+    W-subproblem with adaptive rho1/rho2 balancing re-derived from the
+    reference's broken nmf/ao_admm_local_sparsity.py (see
+    solvers/ao_admm_local.py for the derivation and deliberate repairs).
     """
     if distance_type not in ("eu", "kl"):
         raise TypeError("Unknown loss function type.")
+    if rho_mode not in ("fixed", "adaptive"):
+        raise ValueError("rho_mode must be 'fixed' or 'adaptive'")
+    # the coupled local-sparsity W-update engages for l1inf-on-W under
+    # adaptive rho (the reference variant always adapts); plain-prox
+    # l1inf under fixed rho keeps round-1 behavior
+    local_sparsity = rho_mode == "adaptive" and reg_w[1] == "l1inf"
     if spd_solver is None:
         # unlike flat ADMM, putting the CG fori inside the inner-ADMM
         # while inside the solver while (4-deep) stalls TPU compilation;
@@ -273,7 +364,14 @@ def ao_admm(
             v.shape[0], v.shape[1], k, kind="abs_normal", dtype=v.dtype,
         )
 
-    if distance_type == "kl":
+    if local_sparsity and distance_type == "kl":
+        inner = (w, h, w, jnp.zeros_like(w), jnp.zeros_like(h),
+                 jnp.zeros_like(v), jnp.zeros_like(v))
+    elif local_sparsity:
+        # w_aux seeded at w, dual at zero; the coupled W-update owns its
+        # data-split state internally
+        inner = (w, h, w, jnp.zeros_like(w), jnp.zeros_like(h))
+    elif distance_type == "kl":
         inner = (w, h, jnp.zeros_like(w), jnp.zeros_like(h),
                  jnp.zeros_like(v), jnp.zeros_like(v))
     else:
@@ -284,10 +382,15 @@ def ao_admm(
 
     run = lambda c, stop: _ao_admm_block(
         v, c, stop, tol1, tol2, reg_w[0], reg_h[0],
+        jnp.asarray(rho_tau, dtype=v.dtype),
+        jnp.asarray(rho_eta, dtype=v.dtype),
+        jnp.asarray(upper_bound, dtype=v.dtype),
         k=k,
         distance_type=distance_type,
         prox_w=reg_w[1],
         prox_h=reg_h[1],
+        rho_mode=rho_mode,
+        local_sparsity=local_sparsity,
         spd_solver=spd_solver,
         min_iter=min_iter,
         max_iter=max_iter,
