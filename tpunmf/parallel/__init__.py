@@ -2,12 +2,15 @@ from .collectives import (
     gram_h,
     gram_h_rank,
     gram_w,
+    reshard_cols_to_rows,
+    reshard_rows_to_cols,
     ring_xht,
     wh_psum_rank,
     wtx_psum,
     xht_psum,
 )
 from .mesh import build_mesh, nmf_shardings, rank_shardings, shard_problem
+from .sharded_solvers import mur_rank_sharded, mur_ulysses
 from .multihost import (
     assemble_global_columns,
     assert_collective_consistency,
@@ -25,6 +28,10 @@ __all__ = [
     "xht_psum",
     "wtx_psum",
     "ring_xht",
+    "reshard_rows_to_cols",
+    "reshard_cols_to_rows",
+    "mur_ulysses",
+    "mur_rank_sharded",
     "wh_psum_rank",
     "gram_h_rank",
     "rank_shardings",

@@ -126,6 +126,46 @@ def gram_h_rank(mesh: Mesh, h):
     )(h)
 
 
+def reshard_rows_to_cols(mesh: Mesh, x, axis: str = "cols"):
+    """Flip x from row-sharded P(axis, None) to column-sharded
+    P(None, axis) with a single ``all_to_all`` — the Ulysses-style layout
+    switch (SURVEY §2C comm-backend row).
+
+    Each device splits its (m/p, n) row panel into p column chunks and
+    exchanges them; the received chunks stack into an (m, n/p) column
+    panel.  Peak per-device memory stays at one panel (vs full
+    replication via all_gather), which is the point for beyond-HBM V.
+    """
+    p = mesh.shape[axis]
+    if p == 1:
+        return x
+
+    def f(x_loc):
+        return jax.lax.all_to_all(x_loc, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P(axis, None), out_specs=P(None, axis),
+        check_vma=False,
+    )(x)
+
+
+def reshard_cols_to_rows(mesh: Mesh, x, axis: str = "cols"):
+    """Inverse of :func:`reshard_rows_to_cols`: P(None, axis) -> P(axis, None)."""
+    p = mesh.shape[axis]
+    if p == 1:
+        return x
+
+    def f(x_loc):
+        return jax.lax.all_to_all(x_loc, axis, split_axis=0, concat_axis=1,
+                                  tiled=True)
+
+    return shard_map(
+        f, mesh=mesh, in_specs=P(None, axis), out_specs=P(axis, None),
+        check_vma=False,
+    )(x)
+
+
 def ring_xht(mesh: Mesh, x, h):
     """X @ H^T as a ppermute ring over column panels.
 
