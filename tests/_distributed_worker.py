@@ -1,0 +1,97 @@
+"""Worker process for the two-process jax.distributed CPU test.
+
+Launched by tests/test_multiprocess.py as
+``python _distributed_worker.py <process_id> <num_processes> <port>``.
+Each process owns 4 emulated CPU devices (8 global), initializes the
+distributed runtime, and exercises the full multi-host surface:
+initialize_multihost, global_mesh, host_local_column_range,
+assemble_global_columns, mur_streaming_sharded (incl. its
+process_allgather tail), and assert_collective_consistency.
+"""
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "").replace(
+        "--xla_force_host_platform_device_count=8", ""
+    ).strip()
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+import numpy as np  # noqa: E402
+import scipy.sparse as sp  # noqa: E402
+
+from tpunmf.parallel import (  # noqa: E402
+    assemble_global_columns,
+    assert_collective_consistency,
+    global_mesh,
+    host_local_column_range,
+    initialize_multihost,
+)
+
+initialize_multihost(
+    coordinator_address=f"localhost:{port}", num_processes=nproc,
+    process_id=pid,
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.device_count() == 4 * nproc
+assert len(jax.local_devices()) == 4
+
+mesh = global_mesh(shape=(4 * nproc,), axis_names=("cols",))
+
+m, n, k = 40, 96, 4
+rng = np.random.default_rng(0)
+dense = rng.random((m, n))
+dense[dense < 0.5] = 0.0
+w0 = np.random.default_rng(1).random((m, k)) + 0.1
+h0 = np.random.default_rng(2).random((k, n)) + 0.1
+
+# per-host ingestion: materialize only this host's column panel
+start, stop = host_local_column_range(mesh, n)
+expected_width = n // nproc
+assert stop - start == expected_width, (start, stop)
+local = np.ascontiguousarray(dense[:, start:stop])
+xg = assemble_global_columns(mesh, local, n)
+assert xg.shape == (m, n)
+# every host's local shards hold exactly its own columns
+col_shard = n // (4 * nproc)
+for s in xg.addressable_shards:
+    c0 = s.index[1].start or 0
+    np.testing.assert_array_equal(
+        np.asarray(s.data), dense[:, c0:c0 + col_shard]
+    )
+
+# the config[4] solver path end-to-end across processes
+from tpunmf.solvers.streaming_sharded import mur_streaming_sharded  # noqa: E402
+
+res = mur_streaming_sharded(
+    sp.csr_matrix(dense), k, mesh, w_init=w0, h_init=h0, row_block=16,
+    min_iter=2, max_iter=5, tol1=0.0, tol2=0.0, dtype=np.float64,
+)
+assert res.h.shape == (k, n)  # process_allgather tail re-assembled H
+
+# multi-host race-detector analog: all hosts agree on the objective
+assert_collective_consistency(res.obj_history[-1])
+
+# also verify the consistency assert FAILS on divergent values
+try:
+    assert_collective_consistency(float(pid))
+    raise SystemExit("assert_collective_consistency missed a divergence")
+except AssertionError:
+    pass
+
+print(f"FINAL_OBJ {res.obj_history[-1]!r}")
+print(f"RANGE {start} {stop}")
+print("WORKER_OK")

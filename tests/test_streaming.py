@@ -165,3 +165,89 @@ def test_streaming_coo_duplicates(rng):
     b = mur(dense, 2, w_init=w0, h_init=h0, **kw)
     np.testing.assert_allclose(np.array(a.obj_history),
                                np.array(b.obj_history), rtol=1e-8)
+
+
+def test_sharded_streaming_densifies_each_block_once(rng, monkeypatch):
+    """VERDICT round-1 item 2: the restructured EU loop must read each
+    row block exactly once per pass — (iters + 1) passes total (one for
+    the initial objective), with one densify per addressable shard."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    import tpunmf.solvers.streaming_sharded as ss
+    from tpunmf.parallel import build_mesh
+
+    created = []
+    orig = ss.PanelStream
+
+    def capture(*a, **k):
+        st = orig(*a, **k)
+        created.append(st)
+        return st
+
+    monkeypatch.setattr(ss, "PanelStream", capture)
+
+    m, n, k, iters = 64, 96, 4, 6
+    dense = rng.random((m, n))
+    dense[dense < 0.5] = 0.0
+    csr = sp.csr_matrix(dense)
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    ss.mur_streaming_sharded(csr, k, mesh, row_block=32, min_iter=iters,
+                             max_iter=iters, tol1=0.0, tol2=0.0)
+    (stream,) = created
+    rb = stream.grid[0]
+    n_shards = 8
+    assert stream.densify_count == n_shards * rb * (iters + 1)
+
+
+def test_sharded_streaming_kl_lagged_objective(rng):
+    """objective='lagged' must equal the exact trajectory shifted by one
+    iteration (1 streamed pass per iteration instead of 2)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+    from tpunmf.solvers.streaming_sharded import mur_streaming_sharded
+
+    m, n, k, iters = 64, 96, 4, 8
+    dense = rng.random((m, n))
+    dense[dense < 0.5] = 0.0
+    csr = sp.csr_matrix(dense)
+    w0 = rng.random((m, k)) + 0.1
+    h0 = rng.random((k, n)) + 0.1
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    kw = dict(distance_type="kl", w_init=w0, h_init=h0, row_block=32,
+              dtype=np.float64, min_iter=iters, max_iter=iters,
+              tol1=0.0, tol2=0.0)
+    exact = mur_streaming_sharded(csr, k, mesh, objective="exact", **kw)
+    lagged = mur_streaming_sharded(csr, k, mesh, objective="lagged", **kw)
+    np.testing.assert_allclose(
+        np.array(lagged.obj_history),
+        np.array(exact.obj_history)[: len(lagged.obj_history)],
+        rtol=1e-10,
+    )
+
+
+def test_sharded_streaming_prefetch_off_matches(rng):
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+    from tpunmf.solvers.streaming_sharded import mur_streaming_sharded
+
+    m, n, k = 64, 96, 4
+    dense = rng.random((m, n))
+    dense[dense < 0.5] = 0.0
+    csr = sp.csr_matrix(dense)
+    w0 = rng.random((m, k)) + 0.1
+    h0 = rng.random((k, n)) + 0.1
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    kw = dict(w_init=w0, h_init=h0, row_block=32, dtype=np.float64,
+              min_iter=3, max_iter=6, tol1=0.0, tol2=0.0)
+    on = mur_streaming_sharded(csr, k, mesh, prefetch=True, **kw)
+    off = mur_streaming_sharded(csr, k, mesh, prefetch=False, **kw)
+    np.testing.assert_array_equal(on.w, off.w)
+    np.testing.assert_array_equal(on.h, off.h)

@@ -46,6 +46,9 @@ class PanelStream:
         self._indptr = np.ascontiguousarray(self.csr.indptr, dtype=np.int64)
         self._indices = np.ascontiguousarray(self.csr.indices, dtype=np.int32)
         self._data = np.ascontiguousarray(self.csr.data, dtype=np.float32)
+        # densification counter: lets tests assert the streaming solvers
+        # read each block exactly once per pass (no redundant densifies)
+        self.densify_count = 0
 
     @property
     def grid(self) -> tuple[int, int]:
@@ -59,6 +62,7 @@ class PanelStream:
         col0 = j * self.col_panel
         rows = min(self.row_block, self.m - row0)
         cols = min(self.col_panel, self.n - col0)
+        self.densify_count += 1
         if out is None:
             out = np.zeros((self.row_block, self.col_panel), dtype=np.float32)
         else:

@@ -141,8 +141,19 @@ def _w_kl_obj_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, acc_ref,
         out_ref[:] = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lam * a))
 
 
+def _compiler_params(semantics, interpret):
+    """dimension_semantics hint for the Mosaic pipeliner (None = default).
+
+    The fused kernels' first grid axis is embarrassingly parallel (disjoint
+    output rows/cols) and the second is the revisiting contraction axis."""
+    if semantics is None or interpret:
+        return None
+    return pltpu.CompilerParams(dimension_semantics=semantics)
+
+
 def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
-                 with_lagged_obj: bool = False, interpret: bool = False):
+                 with_lagged_obj: bool = False, interpret: bool = False,
+                 dimension_semantics=None):
     """One fused pass over X producing the updated W.
 
     With ``with_lagged_obj`` (KL only) also returns KL(x, w@h) of the
@@ -183,6 +194,7 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
         args = (x, h, w, hsum, lam_arr)
         in_specs = [x_spec, *extra, lam_spec]
 
+    cparams = _compiler_params(dimension_semantics, interpret)
     if with_lagged_obj:
         w_new, acc = pl.pallas_call(
             kern,
@@ -198,6 +210,7 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
             ),
             cost_estimate=cost,
             interpret=interpret,
+            compiler_params=cparams,
         )(*args)
         return w_new, acc[0, 0]
 
@@ -209,7 +222,103 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
         out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=cparams,
     )(*args)
+
+
+# ------------------------------------------- single-pass EU iteration
+
+def _iter_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lw_ref, w_out_ref,
+                    wtx_ref, gw_ref, *, ni):
+    """One grid step processes a full (bm, n) row strip of X:
+    W-numerator GEMM, in-register W update, and the H-numerator +
+    W-Gram accumulations — X is read from HBM exactly ONCE per
+    iteration (the 2-pass kernels read it twice)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        wtx_ref[:] = jnp.zeros_like(wtx_ref)
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+
+    xb = x_ref[:]                                     # (bm, n)
+    h = h_ref[:]                                      # (k, n) f32
+    numer = jnp.dot(xb, h.T.astype(xb.dtype),
+                    preferred_element_type=jnp.float32)
+    w = w_ref[:]
+    lw = lw_ref[0, 0]
+    denom = jnp.dot(w, gh_ref[:], preferred_element_type=jnp.float32)
+    w_new = w * numer / (denom + lw * w + _EPS)
+    w_out_ref[:] = w_new
+    wtx_ref[:] += jnp.dot(w_new.T.astype(xb.dtype), xb,
+                          preferred_element_type=jnp.float32)
+    gw_ref[:] += jnp.dot(w_new.T, w_new, preferred_element_type=jnp.float32)
+
+
+def iter_eu_tileable(x, k: int):
+    """Strip height bm for the single-pass iteration kernel, or None.
+
+    Needs the full-width X strip (double-buffered), H, and the WtX
+    accumulator resident in VMEM (~16 MB/core)."""
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    m, n = x.shape
+    xb = x.dtype.itemsize
+    budget = 14 * 1024 * 1024
+    fixed = 2 * k * n * 4 + k * k * 4 * 2          # h + wtx + grams
+    for bm in (512, 256, 128, 64, 32, 16, 8):
+        if m % bm:
+            continue
+        need = fixed + 2 * bm * n * xb + 3 * bm * k * 4
+        if need <= budget:
+            return bm
+    return None
+
+
+def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
+                     interpret: bool = False):
+    """Whole EU-MUR W-half + H-numerator in ONE pass over X.
+
+    Returns (w_new, wtx, gram_w): the caller finishes with the (cheap,
+    k-sized) H update ``h * wtx / (gram_w @ h + lam_h*h + eps)`` and the
+    free Gram-trick objective.  Exactly the same math as
+    mur_w_update + mur_h_update (nmf/mur.py:29,45) at half the HBM
+    traffic — X is the dominant term at rank ~128.
+    """
+    m, n = x.shape
+    k = w.shape[1]
+    ni = m // bm
+    gh = h @ h.T
+    lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
+    kern = functools.partial(_iter_eu_kernel, ni=ni)
+    cost = pl.CostEstimate(
+        flops=6 * m * n * k,
+        bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, h, w, gh, lam_arr)
 
 
 # ------------------------------------------------------------- H kernels
@@ -258,7 +367,7 @@ def _h_kl_kernel(x_ref, w_ref, h_ref, wsum_ref, lam_ref, h_out_ref, wtr_ref, *, 
 
 
 def mur_h_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
-                 interpret: bool = False):
+                 interpret: bool = False, dimension_semantics=None):
     """One fused pass over X producing (updated H, raw numerator).
 
     The numerator is W^T X (EU) / W^T(X/(WH+eps)) (KL) with the *updated*
@@ -308,4 +417,5 @@ def mur_h_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
         out_shape=out_shape,
         cost_estimate=cost,
         interpret=interpret,
+        compiler_params=_compiler_params(dimension_semantics, interpret),
     )(*args)

@@ -16,14 +16,26 @@ per row block against the sharded H (elementwise on the sharded columns),
 its products reduce the same way, and the masked KL objective accumulates
 per block.
 
-Euclidean per iteration:
-  G_h = H H^T                      (sharded Gram, psum)
-  for each row block i:  numer_W[i] = X_i @ H^T       (stream pass 1)
-  W <- mur update (replicated)
-  for each row block i:  WtX[:, :] += W_i^T X_i       (stream pass 2,
-                                                       result stays sharded)
+Euclidean per iteration — ONE streamed pass (each block densified once):
+  G_h = H H^T                       (sharded Gram, psum)
+  for each row block i:
+      X_i       <- prefetched (next block densifies on a worker thread
+                   while the device chews on this one)
+      numer_i   =  X_i @ H^T        (psum over 'cols', replicated out)
+      W_i       <- W_i * numer_i / (W_i G_h + lw W_i + eps)
+                   (the MUR W-update is row-wise independent, so each
+                   row block updates from its own numerator alone)
+      WtX      +=  W_i^T X_i        (with the FRESH W_i; stays sharded)
   H <- mur update (sharded elementwise)
   obj via the Gram trick (free, exact reductions in f32)
+
+This is iterate-for-iterate identical to the two-pass schedule (the
+W-update consumes only block-local numerators; WtX uses the updated W
+either way) at half the densify/transfer traffic.  KL needs the exact
+objective's own pass (2 streams/iter) unless ``objective='lagged'``,
+which folds the iteration-t objective into iteration t+1's ratio pass
+(1 stream/iter, trajectory shifted by one iteration — the same opt-in
+as the in-core fused KL solver).
 
 Memory: device holds H shard (k x n/p), W (m x k, replicated), one
 row-block shard (row_block x n/p) — V itself never resident.
@@ -86,6 +98,19 @@ def _block_kl_rht(x_block, w_block, h):
     return r @ h.T
 
 
+@jax.jit
+def _block_kl_rht_obj(x_block, w_block, h):
+    """KL ratio numerator AND the masked KL objective contribution of the
+    incoming (w_block, h) — the wh tiles are already formed for the
+    ratio, so the lagged objective costs nothing extra."""
+    wh = w_block @ h
+    r = x_block / (wh + _EPS)
+    val = x_block * jnp.log(x_block / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    return r @ h.T, jnp.sum(val - x_block + wh)
+
+
 def mur_streaming_sharded(
     x_sparse,
     k: int,
@@ -103,6 +128,8 @@ def mur_streaming_sharded(
     w_init=None,
     h_init=None,
     dtype=jnp.float32,
+    objective: str = "exact",
+    prefetch: bool = True,
     verbose: bool = False,
 ) -> Results:
     """MUR (EU or KL) with column-sharded H and row-block-streamed V.
@@ -113,6 +140,12 @@ def mur_streaming_sharded(
         panelizer regardless of ``dtype`` — ``dtype`` governs the factors
         and accumulators only.
       mesh: mesh with a 'cols' axis; n must divide by its size.
+      objective: KL only — 'exact' evaluates KL(w, h) after each iteration
+        (its own streamed pass); 'lagged' folds iteration t's objective
+        into iteration t+1's ratio pass (1 streamed pass per iteration,
+        obj_history/convergence shifted one iteration, as in mur()).
+      prefetch: densify + stage block i+1 on a worker thread while the
+        device processes block i.
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
@@ -181,61 +214,102 @@ def mur_streaming_sharded(
             wb = jnp.pad(wb, ((0, row_block - rows), (0, 0)))
         return wb
 
-    def pass_numer_w(w, h):
-        blocks = []
-        for i in range(rb):
-            if distance_type == "eu":
-                nb = _block_xht(x_block(i), h)
-            else:
-                nb = _block_kl_rht(x_block(i), w_block_of(w, i), h)
-            rows = min(row_block, m - i * row_block)
-            blocks.append(nb[:rows])
-        return jnp.concatenate(blocks, axis=0)
+    # --- block prefetch: densify + stage block i+1 on a worker thread
+    # while the device processes block i (the panelizer's C loop releases
+    # the GIL, so the overlap is real)
+    import concurrent.futures as _cf
 
-    def pass_wtx(w, h=None):
-        """EU: W^T X.  KL (h given): W^T (X/(WH+eps))."""
-        wtx = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
+    pool = _cf.ThreadPoolExecutor(max_workers=1) if prefetch else None
+
+    def blocks_prefetched():
+        fut = pool.submit(x_block, 0) if pool else None
         for i in range(rb):
-            wb = w_block_of(w, i)
-            if h is None:
-                wtx = _acc_block_wtx(wtx, wb, x_block(i))
+            xb = fut.result() if pool else x_block(i)
+            if pool and i + 1 < rb:
+                fut = pool.submit(x_block, i + 1)
+            yield i, xb
+
+    def fused_pass_eu(w, h):
+        """ONE streamed pass: per-block W update + WtX accumulation.
+
+        The EU W-update is row-wise independent (each W row consumes only
+        its own numerator row), so each block's update completes before
+        the next block loads — iterate-for-iterate identical to the
+        two-pass schedule at half the stream traffic."""
+        gram_h = _gram_h(h)
+        wtx = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
+        new_blocks = []
+        for i, xb in blocks_prefetched():
+            nb = _block_xht(xb, h)
+            wb = _w_update(w_block_of(w, i), nb, gram_h, lambda_w)
+            wtx = _acc_block_wtx(wtx, wb, xb)
+            rows = min(row_block, m - i * row_block)
+            new_blocks.append(wb[:rows])
+        return jnp.concatenate(new_blocks, axis=0), wtx
+
+    def fused_pass_kl(w, h, want_lagged_obj):
+        """ONE streamed pass: per-block KL W update + W^T(ratio)
+        accumulation (+ the incoming iterate's KL objective for free)."""
+        wtr = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
+        obj_in = jnp.zeros((), dtype=dtype)
+        new_blocks = []
+        for i, xb in blocks_prefetched():
+            wb_old = w_block_of(w, i)
+            if want_lagged_obj:
+                nb, ob = _block_kl_rht_obj(xb, wb_old, h)
+                obj_in = obj_in + ob
             else:
-                wtx = _acc_block_kl_wtr(wtx, x_block(i), wb, h)
-        return wtx
+                nb = _block_kl_rht(xb, wb_old, h)
+            wb = _w_update_kl(wb_old, nb, h, lambda_w)
+            wtr = _acc_block_kl_wtr(wtr, xb, wb, h)
+            rows = min(row_block, m - i * row_block)
+            new_blocks.append(wb[:rows])
+        return jnp.concatenate(new_blocks, axis=0), wtr, obj_in
 
     def kl_objective(w, h):
         obj = jnp.zeros((), dtype=dtype)
-        for i in range(rb):
-            obj = _acc_block_kl_obj(obj, x_block(i), w_block_of(w, i), h)
+        for i, xb in blocks_prefetched():
+            obj = _acc_block_kl_obj(obj, xb, w_block_of(w, i), h)
         return float(obj)
 
-    if distance_type == "eu":
-        wtx = pass_wtx(w)
-        gram_w = w.T @ w
-        obj_history = [float(_gram_obj(xsq, wtx, gram_w, h))]
-    else:
-        obj_history = [kl_objective(w, h)]
-
-    i = 0
-    for i in range(max_iter):
+    try:
         if distance_type == "eu":
-            gram_h = _gram_h(h)
-            numer_w = pass_numer_w(w, h)
-            w = _w_update(w, numer_w, gram_h, lambda_w)
-            wtx = pass_wtx(w)
-            gram_w = w.T @ w
-            h = _h_update(h, wtx, gram_w, lambda_h)
-            obj_history.append(float(_gram_obj(xsq, wtx, gram_w, h)))
+            # the Gram objective needs W^T X of the initial factors: one
+            # streamed accumulation pass
+            wtx0 = jax.device_put(jnp.zeros((k, n), dtype=dtype), h_sharding)
+            for i, xb in blocks_prefetched():
+                wtx0 = _acc_block_wtx(wtx0, w_block_of(w, i), xb)
+            obj_history = [float(_gram_obj(xsq, wtx0, w.T @ w, h))]
+        elif objective == "lagged":
+            obj_history = []  # filled by each iteration's ratio pass
         else:
-            w = _w_update_kl(w, pass_numer_w(w, h), h, lambda_w)
-            h = _h_update_kl(h, pass_wtx(w, h=h), w, lambda_h)
-            obj_history.append(kl_objective(w, h))
-        if verbose:
-            print(f"[{i}]: {obj_history[-1]}")
-        if i > min_iter and convergence_check(
-            obj_history[-1], obj_history[-2], tol1, tol2
-        ):
-            break
+            obj_history = [kl_objective(w, h)]
+
+        i = 0
+        for i in range(max_iter):
+            if distance_type == "eu":
+                w, wtx = fused_pass_eu(w, h)
+                gram_w = w.T @ w
+                h = _h_update(h, wtx, gram_w, lambda_h)
+                obj_history.append(float(_gram_obj(xsq, wtx, gram_w, h)))
+            else:
+                w, wtr, obj_in = fused_pass_kl(w, h, objective == "lagged")
+                h = _h_update_kl(h, wtr, w, lambda_h)
+                if objective == "lagged":
+                    # obj_in is KL of the factors as of the END of the
+                    # previous iteration — record it there
+                    obj_history.append(float(obj_in))
+                else:
+                    obj_history.append(kl_objective(w, h))
+            if verbose:
+                print(f"[{i}]: {obj_history[-1]}")
+            if i > min_iter and len(obj_history) >= 2 and convergence_check(
+                obj_history[-1], obj_history[-2], tol1, tol2
+            ):
+                break
+    finally:
+        if pool:
+            pool.shutdown(wait=True)
 
     if jax.process_count() > 1:
         # h spans non-addressable devices on multi-host runs
