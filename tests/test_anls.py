@@ -112,3 +112,33 @@ def test_cg_masked_solver_matches_chol_trajectory(lowrank_data):
     np.testing.assert_allclose(np.array(cg.obj_history),
                                np.array(chol.obj_history), rtol=1e-8)
     np.testing.assert_allclose(cg.w, chol.w, rtol=1e-6, atol=1e-9)
+
+
+def test_anls_host_loop_matches_device_loop(lowrank_data, tmp_path):
+    """The host-driven path (TPU fallback) must share run_loop semantics:
+    identical trajectory to the device loop, plus checkpoint/resume."""
+    import numpy as np
+
+    from tpunmf.solvers import anls
+
+    kw = dict(min_iter=3, max_iter=12, tol1=0.0, tol2=0.0,
+              nndsvd_init=(True, "zero"))
+    dev = anls(lowrank_data, 4, **kw)
+    host = anls(lowrank_data, 4, device_loop=False, **kw)
+    np.testing.assert_allclose(
+        np.array(host.obj_history), np.array(dev.obj_history), rtol=1e-10)
+    np.testing.assert_allclose(host.w, dev.w, rtol=1e-10)
+
+    # checkpointed run drives run_loop's callback machinery; a resume from
+    # the saved carry reproduces the same final state
+    ckpt = str(tmp_path / "anls_host.ckpt")
+    calls = []
+    ck = anls(lowrank_data, 4, device_loop=False, checkpoint_path=ckpt,
+              checkpoint_every=4, on_block_end=lambda c: calls.append(int(c.i)),
+              **kw)
+    assert calls == [4, 8, 12]  # run_loop blocked the host loop
+    resumed = anls(lowrank_data, 4, device_loop=False, checkpoint_path=ckpt,
+                   resume=True, **kw)
+    np.testing.assert_allclose(resumed.w, ck.w, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.array(resumed.obj_history), np.array(ck.obj_history), rtol=1e-12)

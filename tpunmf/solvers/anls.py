@@ -217,80 +217,56 @@ def anls(
         device_loop = (jax.default_backend() != "tpu") or (masked_solver == "cg")
 
     obj0 = distance(x, w @ h, distance_type)
-
-    if not device_loop:
-        from ..core.convergence import convergence_check
-        from ..io.checkpoint import checkpoint_exists, load_state, save_state
-
-        state = {"w": w, "h": h, "i": -1, "obj_history": [float(obj0)]}
-        if checkpoint_path and resume and checkpoint_exists(checkpoint_path):
-            tmpl = {"w": w, "h": h,
-                    "obj_buf": np.zeros(max_iter + 1), "i": np.int64(0)}
-            saved = load_state(checkpoint_path, tmpl,
-                               expected_meta=repr(experiment))
-            w, h = jnp.asarray(saved["w"]), jnp.asarray(saved["h"])
-            done = int(saved["i"])
-            state = {"w": w, "h": h, "i": done,
-                     "obj_history": list(saved["obj_buf"][: done + 2])}
-        from types import SimpleNamespace
-
-        def write_checkpoint(i, w, h, obj_history):
-            buf = np.zeros(max_iter + 1)
-            buf[: len(obj_history)] = obj_history
-            save_state(checkpoint_path,
-                       {"w": np.asarray(w), "h": np.asarray(h),
-                        "obj_buf": buf, "i": np.int64(i)},
-                       meta=repr(experiment))
-
-        i = state["i"]
-        obj_history = state["obj_history"]
-        every = checkpoint_every or 500
-        cb_every = block_size or every
-        converged_flag = False
-        for i in range(state["i"] + 1, max_iter):
-            w, h, obj = _anls_iter(
-                x, w, h, lambda_w, lambda_h, k=k,
-                distance_type=distance_type, nnls_solver=nnls_solver,
-                solve_method=masked_solver, use_pallas=use_pallas,
-            )
-            obj_history.append(float(obj))
-            if verbose:
-                print(f"[{i}]: {obj_history[-1]}")
-            if checkpoint_path and (i + 1) % every == 0:
-                write_checkpoint(i, w, h, obj_history)
-            converged_flag = i > min_iter and convergence_check(
-                obj_history[-1], obj_history[-2], tol1, tol2
-            )
-            if on_block_end is not None and (
-                (i + 1) % cb_every == 0 or converged_flag or i == max_iter - 1
-            ):
-                # shim mirroring the LoopCarry fields callbacks consume
-                on_block_end(SimpleNamespace(
-                    i=i + 1, obj=obj_history[-1], converged=converged_flag,
-                    obj_buf=np.asarray(obj_history), inner=(w, h),
-                ))
-            if converged_flag:
-                break
-        if checkpoint_path:
-            write_checkpoint(i, w, h, obj_history)  # final state
-        return Results(
-            w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
-            experiment=experiment,
-        )
-
     carry = init_carry(obj0, max_iter, (w, h))
 
-    run = lambda c, stop: _anls_block(
-        x, c, stop, tol1, tol2, lambda_w, lambda_h,
-        k=k,
-        distance_type=distance_type,
-        nnls_solver=nnls_solver,
-        solve_method=masked_solver,
-        min_iter=min_iter,
-        max_iter=max_iter,
-        use_pallas=use_pallas,
-        verbose=verbose,
-    )
+    if device_loop:
+        run = lambda c, stop: _anls_block(
+            x, c, stop, tol1, tol2, lambda_w, lambda_h,
+            k=k,
+            distance_type=distance_type,
+            nnls_solver=nnls_solver,
+            solve_method=masked_solver,
+            min_iter=min_iter,
+            max_iter=max_iter,
+            use_pallas=use_pallas,
+            verbose=verbose,
+        )
+    else:
+        # host-driven block with while_block-identical semantics: one
+        # _anls_iter dispatch per iteration, same LoopCarry in/out, so
+        # run_loop's checkpoint/resume/callback machinery is shared with
+        # every other solver instead of a duplicated driver
+        from ..core.convergence import convergence_check
+
+        def run(c: LoopCarry, stop) -> LoopCarry:
+            w, h = c.inner
+            i = int(c.i)
+            obj_buf = np.asarray(c.obj_buf).copy()
+            obj_prev = float(c.obj)
+            conv = bool(c.converged)
+            while i < min(int(stop), max_iter) and not conv:
+                w, h, obj = _anls_iter(
+                    x, w, h, lambda_w, lambda_h, k=k,
+                    distance_type=distance_type, nnls_solver=nnls_solver,
+                    solve_method=masked_solver, use_pallas=use_pallas,
+                )
+                obj = float(obj)
+                obj_buf[i + 1] = obj
+                conv = i > min_iter and bool(
+                    convergence_check(obj, obj_prev, tol1, tol2)
+                )
+                if verbose:
+                    print(f"[{i}]: {obj}")
+                obj_prev = obj
+                i += 1
+            return LoopCarry(
+                i=jnp.asarray(i, jnp.int32),
+                obj=jnp.asarray(obj_prev, dtype=c.obj.dtype),
+                converged=jnp.asarray(conv),
+                obj_buf=jnp.asarray(obj_buf),
+                inner=(w, h),
+            )
+
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
