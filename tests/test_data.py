@@ -67,3 +67,64 @@ def test_load_matrix_mat_3d_flatten(tmp_path, rng):
     sio.savemat(tmp_path / "stack.mat", {"msot": a})
     got = load_matrix(str(tmp_path / "stack.mat"), key="msot")
     assert got.shape == (12, 5)
+
+
+def test_load_movielens_formats(tmp_path):
+    """All three standard MovieLens ratings formats parse to the same
+    user x item matrix."""
+    import numpy as np
+
+    from tpunmf.data import load_movielens
+
+    triples = [(1, 10, 5.0), (1, 20, 3.0), (2, 10, 4.0), (7, 30, 1.0)]
+    dat = tmp_path / "ratings.dat"
+    dat.write_text("".join(f"{u}::{i}::{r}::978300760\n" for u, i, r in triples))
+    udata = tmp_path / "u.data"
+    udata.write_text("".join(f"{u}\t{i}\t{r}\t978300760\n" for u, i, r in triples))
+    csv = tmp_path / "ratings.csv"
+    csv.write_text("userId,movieId,rating,timestamp\n" + "".join(
+        f"{u},{i},{r},978300760\n" for u, i, r in triples))
+
+    mats = []
+    for p in (dat, udata, csv):
+        mat, users, items = load_movielens(str(p))
+        assert mat.shape == (3, 3)  # 3 unique users, 3 unique items
+        assert list(users) == [1, 2, 7]
+        assert list(items) == [10, 20, 30]
+        mats.append(mat.toarray())
+    np.testing.assert_array_equal(mats[0], mats[1])
+    np.testing.assert_array_equal(mats[0], mats[2])
+    assert mats[0][0, 0] == 5.0 and mats[0][2, 2] == 1.0
+
+
+def test_load_newsgroups_tfidf(tmp_path):
+    import numpy as np
+
+    from tpunmf.data import load_newsgroups_tfidf
+
+    (tmp_path / "alt.atheism").mkdir()
+    (tmp_path / "sci.space").mkdir()
+    (tmp_path / "alt.atheism" / "0001").write_text(
+        "The rocket engine burns fuel. Rocket science!")
+    (tmp_path / "alt.atheism" / "0002").write_text(
+        "Fuel and engine and rocket again, rocket rocket.")
+    (tmp_path / "sci.space" / "0001").write_text(
+        "Space rocket orbits the moon. Moon base fuel depot.")
+
+    mat, vocab, docs = load_newsgroups_tfidf(str(tmp_path), min_df=2)
+    assert len(docs) == 3
+    assert mat.shape == (len(vocab), 3)
+    # terms appearing in >=2 docs survive; 'moon' (1 doc) does not
+    assert "rocket" in vocab and "fuel" in vocab
+    assert "moon" not in vocab
+    dense = mat.toarray()
+    assert np.all(dense >= 0)
+    # l2-normalized columns
+    norms = np.sqrt((dense ** 2).sum(axis=0))
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-6)
+    # and it factorizes through the normal pipeline
+    from tpunmf.solvers import mur
+
+    res = mur(dense, 2, distance_type="kl", min_iter=3, max_iter=10,
+              tol1=0.0, tol2=0.0)
+    assert np.all(np.isfinite(res.obj_history))
