@@ -141,3 +141,21 @@ def test_mur_rank_sharded_validation(rng):
     with pytest.raises(ValueError):
         mur_rank_sharded(mesh2, rng.random((16, 16)), rng.random((16, 8)),
                          rng.random((8, 16)), n_iter=1)
+
+
+@needs_8_devices
+def test_ring_rotate_h_matches_dense(rng):
+    """The genuine beyond-HBM ring: X stays put, only H panels rotate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tpunmf.parallel import ring_xht_rotate_h
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    m, n, k = 64, 96, 8
+    x = rng.random((m, n))
+    h = rng.random((k, n))
+    xs = jax.device_put(x, NamedSharding(mesh, P("cols", None)))
+    hs = jax.device_put(h, NamedSharding(mesh, P(None, "cols")))
+    out = ring_xht_rotate_h(mesh, xs, hs)
+    np.testing.assert_allclose(np.asarray(out), x @ h.T, rtol=1e-10)
+    assert tuple(out.sharding.spec)[:1] == ("cols",)

@@ -5,6 +5,7 @@ from .collectives import (
     reshard_cols_to_rows,
     reshard_rows_to_cols,
     ring_xht,
+    ring_xht_rotate_h,
     wh_psum_rank,
     wtx_psum,
     xht_psum,
@@ -28,6 +29,7 @@ __all__ = [
     "xht_psum",
     "wtx_psum",
     "ring_xht",
+    "ring_xht_rotate_h",
     "reshard_rows_to_cols",
     "reshard_cols_to_rows",
     "mur_ulysses",

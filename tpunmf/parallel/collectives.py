@@ -166,6 +166,46 @@ def reshard_cols_to_rows(mesh: Mesh, x, axis: str = "cols"):
     )(x)
 
 
+def ring_xht_rotate_h(mesh: Mesh, x, h, axis: str = "cols"):
+    """X @ H^T with X ROW-sharded and H column-sharded, computed by
+    rotating only the small H panels around the ring — the genuine
+    beyond-HBM schedule (the big X never moves; peak per-device factor
+    memory is ONE (k, n/p) panel, never the full H).
+
+    At step s device d multiplies the column slice of its local X row
+    block that matches the visiting panel, accumulates into its numerator
+    block, and passes the panel along; after p steps every device holds
+    its complete X_rows @ H^T.  Each ppermute transfer overlaps the next
+    step's GEMM (XLA schedules the send/recv concurrently with compute
+    inside the fori_loop).  Output is row-sharded like W.
+    """
+    p = mesh.shape[axis]
+    if p == 1:
+        return x @ h.T
+
+    def f(x_loc, h_loc):
+        n_loc = h_loc.shape[1]
+        idx = jax.lax.axis_index(axis)
+        perm = [(d, (d - 1) % p) for d in range(p)]
+
+        def body(s, carry):
+            acc, hp = carry
+            j = (idx + s) % p
+            xs = jax.lax.dynamic_slice_in_dim(x_loc, j * n_loc, n_loc, axis=1)
+            acc = acc + xs @ hp.T
+            hp = jax.lax.ppermute(hp, axis, perm)
+            return (acc, hp)
+
+        acc0 = jnp.zeros((x_loc.shape[0], h_loc.shape[0]), dtype=x_loc.dtype)
+        acc, _ = jax.lax.fori_loop(0, p, body, (acc0, h_loc))
+        return acc
+
+    return shard_map(
+        f, mesh=mesh, in_specs=(P(axis, None), P(None, axis)),
+        out_specs=P(axis, None), check_vma=False,
+    )(x, h)
+
+
 def ring_xht(mesh: Mesh, x, h):
     """X @ H^T as a ppermute ring over column panels.
 
