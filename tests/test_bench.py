@@ -16,3 +16,11 @@ def test_bench_small_shapes():
     import numpy as np
 
     assert np.isfinite(r["final_obj"])
+
+
+def test_bench_solver_rates_small():
+    import bench
+
+    rates = bench.bench_solver_rates(m=96, n=64, k=6, iters=3)
+    for name in ("mur_kl", "anls", "admm", "ao_admm", "ao_admm_local_l1inf"):
+        assert rates[name] > 0

@@ -188,3 +188,41 @@ def test_w_update_kl_lagged_obj(rng):
                                rtol=1e-6)
     ref_obj = fused.kl_obj(x, w, h, use_pallas=False)
     np.testing.assert_allclose(float(obj), float(ref_obj), rtol=1e-4)
+
+
+@pytest.mark.parametrize("lam", [0.0, 0.3])
+def test_single_pass_iteration_eu(rng, lam):
+    """mur_iteration_eu (one pass over x) vs the jnp step formulas."""
+    from tpunmf.ops.mur_fused import mur_iteration_eu
+
+    m, n, k = 128, 256, 16
+    eps = 1e-9
+    x = jnp.asarray(rng.random((m, n)), dtype=jnp.float32)
+    w = jnp.asarray(rng.random((m, k)), dtype=jnp.float32)
+    h = jnp.asarray(rng.random((k, n)), dtype=jnp.float32)
+
+    w1, wtx, gw = mur_iteration_eu(x, w, h, lam_w=lam, bm=32, interpret=True)
+    w_ref = np.asarray(w) * np.asarray(x @ h.T) / (
+        np.asarray(w @ (h @ h.T)) + lam * np.asarray(w) + eps)
+    np.testing.assert_allclose(np.asarray(w1), w_ref, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(wtx), w_ref.T @ np.asarray(x),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(gw), w_ref.T @ w_ref, rtol=2e-5)
+
+
+def test_single_pass_iteration_eu_bf16(rng):
+    from tpunmf.ops.mur_fused import iter_eu_tileable, mur_iteration_eu
+
+    m, n, k = 64, 128, 8
+    x = jnp.asarray(rng.random((m, n)), dtype=jnp.float32)
+    w = jnp.asarray(rng.random((m, k)), dtype=jnp.float32)
+    h = jnp.asarray(rng.random((k, n)), dtype=jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    assert iter_eu_tileable(xb, k) is not None
+    w1, wtx, gw = mur_iteration_eu(xb, w, h, lam_w=0.0, bm=32, interpret=True)
+    eps = 1e-9
+    xf = np.asarray(xb.astype(jnp.float32))
+    w_ref = np.asarray(w) * (xf @ np.asarray(h).T) / (
+        np.asarray(w @ (h @ h.T)) + eps)
+    np.testing.assert_allclose(np.asarray(w1), w_ref, rtol=2e-2)
+    assert np.all(np.isfinite(np.asarray(wtx)))

@@ -228,12 +228,14 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
 
 # ------------------------------------------- single-pass EU iteration
 
-def _iter_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lw_ref, w_out_ref,
+def _iter_eu_kernel(x_ref, ht_ref, w_ref, gh_ref, lw_ref, w_out_ref,
                     wtx_ref, gw_ref, *, ni):
     """One grid step processes a full (bm, n) row strip of X:
     W-numerator GEMM, in-register W update, and the H-numerator +
     W-Gram accumulations — X is read from HBM exactly ONCE per
-    iteration (the 2-pass kernels read it twice)."""
+    iteration (the 2-pass kernels read it twice).  H^T arrives
+    pre-transposed; the cast to X's dtype happens in-kernel where it
+    overlaps the strip DMA (measured faster than hoisting it)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -242,8 +244,7 @@ def _iter_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lw_ref, w_out_ref,
         gw_ref[:] = jnp.zeros_like(gw_ref)
 
     xb = x_ref[:]                                     # (bm, n)
-    h = h_ref[:]                                      # (k, n) f32
-    numer = jnp.dot(xb, h.T.astype(xb.dtype),
+    numer = jnp.dot(xb, ht_ref[:].astype(xb.dtype),
                     preferred_element_type=jnp.float32)
     w = w_ref[:]
     lw = lw_ref[0, 0]
@@ -258,14 +259,14 @@ def _iter_eu_kernel(x_ref, h_ref, w_ref, gh_ref, lw_ref, w_out_ref,
 def iter_eu_tileable(x, k: int):
     """Strip height bm for the single-pass iteration kernel, or None.
 
-    Needs the full-width X strip (double-buffered), H, and the WtX
-    accumulator resident in VMEM (~16 MB/core)."""
+    Needs the full-width X strip (double-buffered), H^T (X's dtype), and
+    the WtX accumulator resident in VMEM (~16 MB/core)."""
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     m, n = x.shape
     xb = x.dtype.itemsize
     budget = 14 * 1024 * 1024
-    fixed = 2 * k * n * 4 + k * k * 4 * 2          # h + wtx + grams
+    fixed = 2 * k * n * 4 + k * k * 4 * 2             # ht(f32) + wtx + grams
     for bm in (512, 256, 128, 64, 32, 16, 8):
         if m % bm:
             continue
@@ -289,6 +290,7 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     k = w.shape[1]
     ni = m // bm
     gh = h @ h.T
+    ht = h.T
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
     kern = functools.partial(_iter_eu_kernel, ni=ni)
     cost = pl.CostEstimate(
@@ -301,7 +303,7 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
         grid=(ni,),
         in_specs=[
             pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -318,7 +320,7 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
         ),
         cost_estimate=cost,
         interpret=interpret,
-    )(x, h, w, gh, lam_arr)
+    )(x, ht, w, gh, lam_arr)
 
 
 # ------------------------------------------------------------- H kernels

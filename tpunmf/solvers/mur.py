@@ -33,7 +33,13 @@ from ..core.losses import eu_elementwise_sum, eu_objective_gram, kl_elementwise_
 from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_obj, kl_ratio, kl_ratio_and_obj
-from ..ops.mur_fused import mur_h_update, mur_tileable, mur_w_update
+from ..ops.mur_fused import (
+    iter_eu_tileable,
+    mur_h_update,
+    mur_iteration_eu,
+    mur_tileable,
+    mur_w_update,
+)
 from .common import (
     LoopCarry,
     finalize_history,
@@ -54,6 +60,7 @@ _EPS = 1e-9
         "objective",
         "use_pallas",
         "fused_tile",
+        "single_pass_bm",
         "verbose",
     ),
 )
@@ -73,8 +80,26 @@ def _mur_block(
     objective: str,
     use_pallas: bool,
     fused_tile,
+    single_pass_bm=None,
     verbose: bool,
 ):
+    def step_eu_single(inner, i):
+        """Whole iteration with ONE pass over x (ops/mur_fused.py
+        mur_iteration_eu): the W-numerator, in-register W update,
+        H-numerator and W-Gram all come out of the same strip sweep;
+        only the k-sized H update and the objective remain outside."""
+        w, h = inner
+        with jax.named_scope("mur_iteration"):
+            w, wtx, gram_w = mur_iteration_eu(x, w, h, lam_w=lambda_w,
+                                              bm=single_pass_bm)
+        h_new = h * wtx / (gram_w @ h + lambda_h * h + _EPS)
+        with jax.named_scope("objective"):
+            if objective == "gram":
+                obj = eu_objective_gram(xsq, wtx, gram_w, h_new)
+            else:
+                obj = eu_residual_obj(x, w, h_new, use_pallas=True)
+        return (w, h_new), obj
+
     def step_eu_fused(inner, i):
         """Whole iteration in 2 fused passes over x (+1 for exact obj)."""
         w, h = inner
@@ -139,7 +164,9 @@ def _mur_block(
         r, obj = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
         return (w, h, r), obj
 
-    if fused_tile is not None:
+    if distance_type == "eu" and single_pass_bm is not None:
+        step = step_eu_single
+    elif fused_tile is not None:
         step = step_kl_fused if distance_type == "kl" else step_eu_fused
     else:
         step = step_kl if distance_type == "kl" else step_eu
@@ -245,8 +272,15 @@ def mur(
         xsq = jnp.zeros((), dtype=factor_dtype)
 
     # fused whole-iteration kernels (2-3 passes over x) when on TPU and
-    # the shapes tile; otherwise the jnp step (XLA-fused, any backend)
+    # the shapes tile; otherwise the jnp step (XLA-fused, any backend).
+    # EU additionally upgrades to the single-pass iteration kernel when
+    # the full-width strip layout fits VMEM (measured ~1.3x over the
+    # 2-pass pair on v5e — X read once per iteration).
     fused_tile = mur_tileable(x, k) if use_pallas else None
+    single_pass_bm = (
+        iter_eu_tileable(x, k)
+        if use_pallas and distance_type == "eu" else None
+    )
 
     if distance_type == "kl":
         if fused_tile is not None:
@@ -276,6 +310,7 @@ def mur(
         objective=objective,
         use_pallas=use_pallas,
         fused_tile=fused_tile,
+        single_pass_bm=single_pass_bm,
         verbose=verbose,
     )
     carry = run_loop(
