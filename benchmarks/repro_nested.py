@@ -126,14 +126,19 @@ def case_c():
 CASES = {"A": case_a, "B": case_b, "C": case_c}
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
-        CASES[sys.argv[1]]()
+    if len(sys.argv) > 2 and sys.argv[1] == "--inline":
+        CASES[sys.argv[2]]()
         sys.exit(0)
-    for name in CASES:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), name],
-            capture_output=True, text=True, timeout=420,
-        )
-        status = "OK" if p.returncode == 0 else f"FAILED rc={p.returncode}"
-        tail = (p.stdout + p.stderr).strip().splitlines()
-        print(f"case {name}: {status} | {tail[-1][:140] if tail else ''}")
+    names = sys.argv[1:] if len(sys.argv) > 1 else list(CASES)
+    for name in names:
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inline", name],
+                capture_output=True, text=True, timeout=420,
+            )
+            status = "OK" if p.returncode == 0 else f"FAILED rc={p.returncode}"
+            tail = (p.stdout + p.stderr).strip().splitlines()
+            detail = tail[-1][:140] if tail else ""
+        except subprocess.TimeoutExpired:
+            status, detail = "TIMEOUT", "compile/run stalled >420s"
+        print(f"case {name}: {status} | {detail}", flush=True)

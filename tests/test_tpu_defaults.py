@@ -1,0 +1,45 @@
+"""Guard tests for the TPU-runtime workaround defaults.
+
+The nested-while pathologies (cases A/B/C, benchmarks/repro_nested.py)
+keep several fast paths fenced OFF on TPU backends.  These tests pin the
+default-selection functions so any future flip is deliberate and
+test-visible, and check the MUR solver (no nested whiles) keeps its
+Pallas fast path.
+"""
+from tpunmf.solvers import tpu_defaults as td
+
+
+def test_mur_keeps_pallas_on_tpu():
+    assert td.mur_use_pallas("tpu") is True
+    assert td.mur_use_pallas("cpu") is False
+
+
+def test_anls_defaults_fence_case_a_and_b():
+    # case B: batched Cholesky must not sit in 3-deep device nesting
+    assert td.anls_masked_solver("tpu") == "cg"
+    assert td.anls_masked_solver("cpu") == "chol"
+    assert td.anls_device_loop("tpu", "cg") is True
+    assert td.anls_device_loop("tpu", "chol") is False  # host loop instead
+    assert td.anls_device_loop("cpu", "chol") is True
+    # case A: no Pallas objective inside the NNLS-bearing loop
+    assert td.anls_use_pallas("tpu") is False
+
+
+def test_ao_admm_defaults_fence_case_a_and_c():
+    # case C: no CG inside the 4-deep nest
+    assert td.ao_admm_spd_solver("tpu") == "chol"
+    assert td.ao_admm_spd_solver("cpu") == "chol"
+    # case A
+    assert td.ao_admm_use_pallas("tpu") is False
+
+
+def test_admm_uses_cg_on_tpu():
+    # flat ADMM is only 2-deep; CG is safe and faster
+    assert td.admm_spd_solver("tpu") == "cg"
+    assert td.admm_spd_solver("cpu") == "chol"
+
+
+def test_repro_script_lists_all_cases():
+    import benchmarks.repro_nested as rn
+
+    assert set(rn.CASES) == {"A", "B", "C"}

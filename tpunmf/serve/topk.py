@@ -30,8 +30,13 @@ def topk_scores_dense(w_batch, h, k: int):
 
 
 # jitted retrieval callables cached per (mesh, k, n, with-exclusion) —
-# serving must not re-trace per request
-_RETRIEVAL_CACHE: dict = {}
+# serving must not re-trace per request.  Bounded LRU so long-lived
+# serving processes that cycle through meshes/configs don't pin dead
+# Mesh objects (and their device buffers) forever.
+from collections import OrderedDict
+
+_RETRIEVAL_CACHE: OrderedDict = OrderedDict()
+_RETRIEVAL_CACHE_MAX = 32
 
 
 def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool):
@@ -101,6 +106,10 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
     if fn is None:
         fn = _build_sharded_retrieval(mesh, k, n, exclude is not None)
         _RETRIEVAL_CACHE[cache_key] = fn
+        while len(_RETRIEVAL_CACHE) > _RETRIEVAL_CACHE_MAX:
+            _RETRIEVAL_CACHE.popitem(last=False)
+    else:
+        _RETRIEVAL_CACHE.move_to_end(cache_key)
     if exclude is None:
         return fn(w_batch, h)
     return fn(w_batch, h, exclude)

@@ -207,8 +207,11 @@ def admm(
         raise ValueError("rho_mode must be 'fixed' or 'adaptive'")
     if spd_solver is None:
         # CG (GEMM-shaped) avoids the slow TPU triangular-solve lowering;
-        # exact Cholesky stays the CPU/parity default (core/linalg.py)
-        spd_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+        # exact Cholesky stays the CPU/parity default (core/linalg.py,
+        # solvers/tpu_defaults.py)
+        from .tpu_defaults import admm_spd_solver
+
+        spd_solver = admm_spd_solver(jax.default_backend())
     if spd_solver not in ("chol", "cg"):
         raise ValueError("spd_solver must be 'chol' or 'cg'")
 

@@ -168,18 +168,18 @@ def anls(
     if nnls_solver not in ("activeset", "bpp"):
         raise ValueError("nnls_solver must be 'activeset' or 'bpp'")
     if masked_solver is None:
-        # GEMM-shaped CG maps far better to the MXU than batched small
-        # Cholesky; exact direct solves remain the CPU/parity default
-        masked_solver = "cg" if jax.default_backend() == "tpu" else "chol"
+        from .tpu_defaults import anls_masked_solver
+
+        masked_solver = anls_masked_solver(jax.default_backend())
     if masked_solver not in ("chol", "cg"):
         raise ValueError("masked_solver must be 'chol' or 'cg'")
 
     x = jnp.asarray(x)
     if use_pallas is None:
-        # Pallas objective kernels inside this solver's nested while_loops
-        # (nnls loops) fault the TPU runtime (Mosaic/XLA interaction,
-        # see docs/PERF.md); the XLA objective is near-equivalent here.
-        use_pallas = False
+        # case A workaround (solvers/tpu_defaults.py)
+        from .tpu_defaults import anls_use_pallas
+
+        use_pallas = anls_use_pallas(jax.default_backend())
 
     experiment = AnlsExperiment(
         method="anls",
@@ -209,12 +209,10 @@ def anls(
         )
 
     if device_loop is None:
-        # batched-Cholesky masked solves inside the solver's while_loop
-        # (3-deep nesting) fault this TPU runtime after a few iterations;
-        # the GEMM-shaped CG solver has no such issue (measured stable and
-        # 5.6 it/s at 4096x2048 rank 64, docs/PERF.md), so the single
-        # device dispatch is kept whenever CG is in use
-        device_loop = (jax.default_backend() != "tpu") or (masked_solver == "cg")
+        # case B workaround (solvers/tpu_defaults.py)
+        from .tpu_defaults import anls_device_loop
+
+        device_loop = anls_device_loop(jax.default_backend(), masked_solver)
 
     obj0 = distance(x, w @ h, distance_type)
     carry = init_carry(obj0, max_iter, (w, h))

@@ -320,20 +320,21 @@ def ao_admm(
     # l1inf under fixed rho keeps round-1 behavior
     local_sparsity = rho_mode == "adaptive" and reg_w[1] == "l1inf"
     if spd_solver is None:
-        # unlike flat ADMM, putting the CG fori inside the inner-ADMM
-        # while inside the solver while (4-deep) stalls TPU compilation;
-        # the reused k x k Cholesky is fine here (21 it/s measured) since
-        # it factorizes once per OUTER iteration (nmf/ao_admm.py:55)
-        spd_solver = "chol"
+        # case C workaround (solvers/tpu_defaults.py): CG in the 4-deep
+        # nest stalls TPU compilation; the once-per-outer k x k Cholesky
+        # (the reference's own structure, nmf/ao_admm.py:55) is fine
+        from .tpu_defaults import ao_admm_spd_solver
+
+        spd_solver = ao_admm_spd_solver(jax.default_backend())
     if spd_solver not in ("chol", "cg"):
         raise ValueError("spd_solver must be 'chol' or 'cg'")
 
     v = jnp.asarray(v)
     if use_pallas is None:
-        # Pallas objective kernels inside this solver's nested while_loops
-        # (inner ADMM loops) fault the TPU runtime (Mosaic/XLA interaction,
-        # see docs/PERF.md); the XLA objective is near-equivalent here.
-        use_pallas = False
+        # case A workaround (solvers/tpu_defaults.py)
+        from .tpu_defaults import ao_admm_use_pallas
+
+        use_pallas = ao_admm_use_pallas(jax.default_backend())
 
     experiment = AoAdmmExperiment(
         method="ao_admm",
@@ -402,7 +403,11 @@ def ao_admm(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
-        config_tag=repr(experiment),
+        # rho_mode changes the carried state shape/meaning but is not part
+        # of the reference-compatible Experiment record — append it to the
+        # checkpoint tag so fixed/adaptive checkpoints can't cross-resume
+        config_tag=repr(experiment) + (
+            f"+rho_mode={rho_mode}" if rho_mode != "fixed" else ""),
     )
 
     w, h = carry.inner[0], carry.inner[1]

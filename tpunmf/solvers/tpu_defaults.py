@@ -1,0 +1,62 @@
+"""TPU-runtime workaround defaults, centralized and guard-tested.
+
+Three pathologies of the current jax/libtpu runtime shape these defaults
+(minimal repros: benchmarks/repro_nested.py; run `python
+benchmarks/repro_nested.py` on a TPU host — each case executes in a
+subprocess so a worker crash doesn't kill the harness):
+
+  case A — a Pallas objective kernel inside a solver while_loop that
+      also contains nested while_loops (the ANLS/AO-ADMM shape)
+      crashes the TPU worker ("kernel fault", round 1).
+  case B — batched small Cholesky (vmapped cho_factor/cho_solve) in
+      3-deep while nesting: compile/run stalls >420 s (re-confirmed
+      round 2, 2026-08).
+  case C — GEMM-shaped CG (fori_loop) inside 4-deep loop nesting (the
+      AO-ADMM + CG shape): compile stalls >420 s (re-confirmed round 2).
+
+The functions below are the single source of truth for which fast path
+each solver may take per backend; tests/test_tpu_defaults.py pins them
+so a future default flip is a deliberate, test-visible decision.
+"""
+from __future__ import annotations
+
+
+def mur_use_pallas(backend: str) -> bool:
+    """MUR's loop has no nested while — fused kernels are safe."""
+    return backend == "tpu"
+
+
+def anls_masked_solver(backend: str) -> str:
+    """GEMM-shaped CG vs batched Cholesky for the masked NNLS solves.
+
+    CG is both ~62x faster on TPU (docs/PERF.md) and avoids the case-B
+    stall; exact Cholesky remains the CPU/parity default."""
+    return "cg" if backend == "tpu" else "chol"
+
+
+def anls_device_loop(backend: str, masked_solver: str) -> bool:
+    """Keep the whole ANLS loop on device unless batched Cholesky would
+    sit in 3-deep nesting (case B)."""
+    return backend != "tpu" or masked_solver == "cg"
+
+
+def anls_use_pallas(backend: str) -> bool:
+    """Pallas objective inside the NNLS-bearing loop = case A; the XLA
+    objective is a minor cost next to the inner solves."""
+    return False
+
+
+def admm_spd_solver(backend: str) -> str:
+    """Flat ADMM is 2-deep — CG is safe and faster on TPU."""
+    return "cg" if backend == "tpu" else "chol"
+
+
+def ao_admm_spd_solver(backend: str) -> str:
+    """AO-ADMM's inner ADMM makes CG 4-deep = case C; the once-per-outer
+    k x k Cholesky (the reference's own structure) is fine."""
+    return "chol"
+
+
+def ao_admm_use_pallas(backend: str) -> bool:
+    """Case A applies (inner ADMM while loops)."""
+    return False
