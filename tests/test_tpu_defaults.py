@@ -25,12 +25,13 @@ def test_anls_defaults_fence_case_a_and_b():
     assert td.anls_use_pallas("tpu") is False
 
 
-def test_ao_admm_defaults_fence_case_a_and_c():
+def test_ao_admm_defaults_fence_case_c():
     # case C: no CG inside the 4-deep nest
     assert td.ao_admm_spd_solver("tpu") == "chol"
     assert td.ao_admm_spd_solver("cpu") == "chol"
-    # case A
-    assert td.ao_admm_use_pallas("tpu") is False
+    # case A re-tested fixed in round 2: Pallas objective re-enabled
+    assert td.ao_admm_use_pallas("tpu") is True
+    assert td.ao_admm_use_pallas("cpu") is False
 
 
 def test_admm_uses_cg_on_tpu():

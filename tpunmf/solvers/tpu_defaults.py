@@ -7,7 +7,12 @@ subprocess so a worker crash doesn't kill the harness):
 
   case A — a Pallas objective kernel inside a solver while_loop that
       also contains nested while_loops (the ANLS/AO-ADMM shape)
-      crashes the TPU worker ("kernel fault", round 1).
+      crashed the TPU worker in round 1 ("kernel fault").  Round-2
+      re-test: NO LONGER CRASHES — the repro and the real AO-ADMM (EU
+      and KL) run correctly with fast compiles, so AO-ADMM's Pallas
+      objective is re-enabled.  The ANLS-shaped program still compiles
+      pathologically (503 s vs seconds without the Pallas objective), so
+      ANLS stays on the XLA objective.
   case B — batched small Cholesky (vmapped cho_factor/cho_solve) in
       3-deep while nesting: compile/run stalls >420 s (re-confirmed
       round 2, 2026-08).
@@ -41,8 +46,9 @@ def anls_device_loop(backend: str, masked_solver: str) -> bool:
 
 
 def anls_use_pallas(backend: str) -> bool:
-    """Pallas objective inside the NNLS-bearing loop = case A; the XLA
-    objective is a minor cost next to the inner solves."""
+    """Pallas objective inside the NNLS-bearing loop no longer crashes
+    (case A, round-2 re-test) but blows the compile up to ~8 minutes;
+    the XLA objective is a minor cost next to the inner solves."""
     return False
 
 
@@ -58,5 +64,7 @@ def ao_admm_spd_solver(backend: str) -> str:
 
 
 def ao_admm_use_pallas(backend: str) -> bool:
-    """Case A applies (inner ADMM while loops)."""
-    return False
+    """Re-enabled after the round-2 case-A re-test: the Pallas
+    objectives run correctly inside the inner-ADMM nest with normal
+    compile times (validated EU + KL on hardware)."""
+    return backend == "tpu"
