@@ -323,6 +323,116 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     )(x, ht, w, gh, lam_arr)
 
 
+# ------------------------------------------- single-pass KL iteration
+
+def _iter_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,
+                    w_out_ref, wtr_ref, obj_ref, *, ni):
+    """One grid step runs the WHOLE KL iteration for a (bm, n) row strip:
+    ratio vs the incoming W, regularized closed-form W update, the
+    H-numerator ``W_new^T (X / (W_new H + eps))`` against the fresh W,
+    and the masked KL objective of the incoming iterate (lagged, free —
+    the wh tiles are already formed).  X is read from HBM once; the
+    2-pass fused path reads it twice plus an objective pass."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        wtr_ref[:] = jnp.zeros_like(wtr_ref)
+        obj_ref[0, 0] = 0.0
+
+    xb = x_ref[:].astype(jnp.float32)                 # (bm, n)
+    h = h_ref[:]                                      # (k, n) f32
+    w = w_ref[:]                                      # (bm, k) f32
+    wh = jnp.dot(w, h, preferred_element_type=jnp.float32)
+    r = xb / (wh + _EPS)
+    # r @ h^T without materializing the transpose: contract n with n
+    numer = jax.lax.dot_general(
+        r, h, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # lagged masked KL of the incoming iterate (nmf/utils.py:23-26)
+    val = xb * jnp.log(xb / wh)
+    val = jnp.where(val == jnp.inf, 0.0, val)
+    val = jnp.where(jnp.isnan(val), 0.0, val)
+    obj_ref[0, 0] += jnp.sum(val - xb + wh)
+    # regularized closed form 2a/(b + sqrt(b^2 + 4*lam*a)) (nmf/mur.py:25-27)
+    a = w * numer
+    lw = lw_ref[0, 0]
+    b = hsum_ref[:]                                   # (1, k)
+    w_new = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lw * a))
+    w_out_ref[:] = w_new
+    # H-numerator with the FRESH W (nmf/mur.py:122-124 sequencing)
+    wh2 = jnp.dot(w_new, h, preferred_element_type=jnp.float32)
+    r2 = xb / (wh2 + _EPS)
+    wtr_ref[:] += jnp.dot(w_new.T, r2, preferred_element_type=jnp.float32)
+
+
+def iter_kl_tileable(x, k: int):
+    """Strip height bm for the single-pass KL kernel, or None.
+
+    Tighter than the EU version: two (bm, n) f32 wh/ratio temps live in
+    VMEM alongside the strip, H and the WtR accumulator.  Strips below
+    64 rows lose to the 2-pass path (measured: bm=32 at n=8192 runs 481
+    it/s vs 498 for 2-pass — too many grid steps), so only >=64 engages."""
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    m, n = x.shape
+    xb = x.dtype.itemsize
+    budget = 14 * 1024 * 1024
+    fixed = 2 * k * n * 4                  # h + wtr (f32)
+    for bm in (128, 64):
+        if m % bm:
+            continue
+        need = fixed + 2 * bm * n * xb + 2 * bm * n * 4 + 3 * bm * k * 4
+        if need <= budget:
+            return bm
+    return None
+
+
+def mur_iteration_kl(x, w, h, *, lam_w: float, bm: int,
+                     interpret: bool = False):
+    """Whole KL-MUR W-half + H-numerator + lagged objective in ONE pass.
+
+    Returns (w_new, wtr, obj_lagged) where obj_lagged is KL(x, w@h) of
+    the INCOMING factors; the caller finishes with the cheap H closed
+    form ``2c/(d + sqrt(d^2 + 4*lam_h*c))`` (c = h*wtr, d = colsum(w)).
+    """
+    m, n = x.shape
+    k = w.shape[1]
+    ni = m // bm
+    hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
+    lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
+    kern = functools.partial(_iter_kl_kernel, ni=ni)
+    cost = pl.CostEstimate(
+        flops=8 * m * n * k,
+        bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,
+        transcendentals=m * n,
+    )
+    w_new, wtr, obj = pl.pallas_call(
+        kern,
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(x, h, w, hsum, lam_arr)
+    return w_new, wtr, obj[0, 0]
+
+
 # ------------------------------------------------------------- H kernels
 
 

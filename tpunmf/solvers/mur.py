@@ -35,8 +35,10 @@ from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_obj, kl_ratio, kl_ratio_and_obj
 from ..ops.mur_fused import (
     iter_eu_tileable,
+    iter_kl_tileable,
     mur_h_update,
     mur_iteration_eu,
+    mur_iteration_kl,
     mur_tileable,
     mur_w_update,
 )
@@ -61,6 +63,7 @@ _EPS = 1e-9
         "use_pallas",
         "fused_tile",
         "single_pass_bm",
+        "kl_single_bm",
         "verbose",
     ),
 )
@@ -81,6 +84,7 @@ def _mur_block(
     use_pallas: bool,
     fused_tile,
     single_pass_bm=None,
+    kl_single_bm=None,
     verbose: bool,
 ):
     def step_eu_single(inner, i):
@@ -99,6 +103,27 @@ def _mur_block(
             else:
                 obj = eu_residual_obj(x, w, h_new, use_pallas=True)
         return (w, h_new), obj
+
+    def step_kl_single(inner, i):
+        """Whole KL iteration in ONE pass over x (mur_iteration_kl).
+
+        The kernel emits KL of the INCOMING iterate for free (its wh
+        tiles are formed for the ratio anyway); with objective='lagged'
+        that is the recorded value (trajectory shifted one iteration,
+        same contract as step_kl_fused's lagged mode), otherwise an
+        exact trailing objective pass is added (still one pass fewer
+        than the 2-pass KL path)."""
+        w, h = inner
+        with jax.named_scope("mur_kl_iteration"):
+            w, wtr, obj_prev = mur_iteration_kl(x, w, h, lam_w=lambda_w,
+                                                bm=kl_single_bm)
+        c = h * wtr
+        d = jnp.sum(w, axis=0)[:, None]
+        h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+        if objective == "lagged":
+            return (w, h), obj_prev
+        obj = kl_obj(x, w, h, use_pallas=True)
+        return (w, h), obj
 
     def step_eu_fused(inner, i):
         """Whole iteration in 2 fused passes over x (+1 for exact obj)."""
@@ -166,6 +191,8 @@ def _mur_block(
 
     if distance_type == "eu" and single_pass_bm is not None:
         step = step_eu_single
+    elif distance_type == "kl" and kl_single_bm is not None:
+        step = step_kl_single
     elif fused_tile is not None:
         step = step_kl_fused if distance_type == "kl" else step_eu_fused
     else:
@@ -281,9 +308,13 @@ def mur(
         iter_eu_tileable(x, k)
         if use_pallas and distance_type == "eu" else None
     )
+    kl_single_bm = (
+        iter_kl_tileable(x, k)
+        if use_pallas and distance_type == "kl" else None
+    )
 
     if distance_type == "kl":
-        if fused_tile is not None:
+        if fused_tile is not None or kl_single_bm is not None:
             obj0 = kl_obj(x, w, h, use_pallas=True)
             inner = (w, h)
         else:
@@ -311,6 +342,7 @@ def mur(
         use_pallas=use_pallas,
         fused_tile=fused_tile,
         single_pass_bm=single_pass_bm,
+        kl_single_bm=kl_single_bm,
         verbose=verbose,
     )
     carry = run_loop(

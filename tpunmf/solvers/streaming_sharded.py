@@ -129,7 +129,7 @@ def mur_streaming_sharded(
     h_init=None,
     dtype=jnp.float32,
     objective: str = "exact",
-    prefetch: bool = True,
+    prefetch: bool = False,
     verbose: bool = False,
 ) -> Results:
     """MUR (EU or KL) with column-sharded H and row-block-streamed V.
@@ -145,7 +145,12 @@ def mur_streaming_sharded(
         into iteration t+1's ratio pass (1 streamed pass per iteration,
         obj_history/convergence shifted one iteration, as in mur()).
       prefetch: densify + stage block i+1 on a worker thread while the
-        device processes block i.
+        device processes block i.  Default OFF: measured SLOWER both on
+        the emulated-CPU mesh (the worker steals XLA host threads) and
+        through the axon tunnel (2.4x worse — the extra thread contends
+        on the dispatch path).  Worth enabling only where host
+        densification is the genuine bottleneck and transfers are
+        DMA-fast (real TPU hosts).
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
