@@ -228,6 +228,8 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
     out = {}
     out["mur_kl"] = rate(mur, 4000, distance_type="kl")
     out["anls"] = rate(anls, 100)
+    out["anls_fast"] = rate(
+        anls, 400, nnls_opts=dict(max_outer=16, opt_tol_ulps=1000.0))
     out["admm"] = rate(admm, 1000)
     out["ao_admm"] = rate(ao_admm, 2000)
     out["ao_admm_local_l1inf"] = rate(

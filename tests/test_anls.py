@@ -142,3 +142,19 @@ def test_anls_host_loop_matches_device_loop(lowrank_data, tmp_path):
     np.testing.assert_allclose(resumed.w, ck.w, rtol=1e-12)
     np.testing.assert_allclose(
         np.array(resumed.obj_history), np.array(ck.obj_history), rtol=1e-12)
+
+
+def test_anls_nnls_opts(lowrank_data):
+    """The nnls_opts throughput knobs run and stay near the exact path."""
+    import numpy as np
+
+    from tpunmf.solvers import anls
+
+    kw = dict(min_iter=3, max_iter=10, tol1=0.0, tol2=0.0,
+              nndsvd_init=(True, "zero"))
+    exact = anls(lowrank_data, 4, **kw)
+    fast = anls(lowrank_data, 4,
+                nnls_opts=dict(max_outer=16, opt_tol_ulps=1000.0), **kw)
+    assert np.all(np.isfinite(fast.obj_history))
+    # relaxed NNLS stays within a few percent of the exact trajectory
+    assert fast.obj_history[-1] < 1.10 * exact.obj_history[-1]

@@ -150,9 +150,11 @@ def _one_hot_cols(idx, l):
     return jax.nn.one_hot(idx, l, dtype=bool, axis=0)
 
 
-@partial(jax.jit, static_argnames=("max_outer", "inner_cap", "solve_method"))
+@partial(jax.jit, static_argnames=("max_outer", "inner_cap", "solve_method",
+                                   "opt_tol_ulps"))
 def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
-                   inner_cap: int = 0, solve_method: str = "chol"):
+                   inner_cap: int = 0, solve_method: str = "chol",
+                   opt_tol_ulps: float = 100.0):
     """Batched NNLS via masked active sets.
 
     Args:
@@ -247,7 +249,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
             # ~100 ulps at the working precision: f32 gets ~1e-5 relative
             # slack (CG noise floor), f64 stays effectively exact
             eps = jnp.finfo(ct_a.dtype).eps
-            opt_tol = 100.0 * eps * (jnp.max(jnp.abs(ct_a), axis=0) + 1e-30)
+            opt_tol = opt_tol_ulps * eps * (jnp.max(jnp.abs(ct_a), axis=0) + 1e-30)
         else:
             opt_tol = jnp.zeros((p,), dtype=ct_a.dtype)
         optimal = jnp.all(grad_off <= opt_tol[None, :], axis=0)

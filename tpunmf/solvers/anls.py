@@ -48,6 +48,7 @@ from .common import (
         "distance_type",
         "nnls_solver",
         "solve_method",
+        "nnls_opts_t",
         "min_iter",
         "max_iter",
         "use_pallas",
@@ -67,13 +68,15 @@ def _anls_block(
     distance_type: str,
     nnls_solver: str,
     solve_method: str,
+    nnls_opts_t: tuple = (),
     min_iter: int,
     max_iter: int,
     use_pallas: bool,
     verbose: bool,
 ):
     solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
-                    solve_method=solve_method)
+                    solve_method=solve_method,
+                    **(dict(nnls_opts_t) if nnls_solver != "bpp" else {}))
     eye = jnp.eye(k, dtype=x.dtype)
 
     def step(inner, i):
@@ -103,11 +106,12 @@ def _anls_block(
 @partial(
     jax.jit,
     static_argnames=("k", "distance_type", "nnls_solver", "solve_method",
-                     "use_pallas"),
+                     "nnls_opts_t", "use_pallas"),
 )
 def _anls_iter(
     x, w, h, lambda_w, lambda_h, *, k: int, distance_type: str,
-    nnls_solver: str, solve_method: str, use_pallas: bool,
+    nnls_solver: str, solve_method: str, nnls_opts_t: tuple = (),
+    use_pallas: bool,
 ):
     """One ANLS iteration as a standalone jit (host-driven loop).
 
@@ -116,7 +120,8 @@ def _anls_iter(
     docs/PERF.md.  Each call is nesting depth 2, which is stable.
     """
     solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
-                    solve_method=solve_method)
+                    solve_method=solve_method,
+                    **(dict(nnls_opts_t) if nnls_solver != "bpp" else {}))
     eye = jnp.eye(k, dtype=x.dtype)
     ct_c = h @ h.T + 2.0 * lambda_w * eye
     w = solve(ct_c, h @ x.T, w.T > 0).T
@@ -146,6 +151,7 @@ def anls(
     # --- extensions beyond the reference surface ---
     nnls_solver: str = "activeset",
     masked_solver: Optional[str] = None,
+    nnls_opts: Optional[dict] = None,
     w_init=None,
     h_init=None,
     key=None,
@@ -162,6 +168,15 @@ def anls(
 
     Reference-compatible keyword surface (nmf/anls.py:50-52) plus
     ``nnls_solver`` in {'activeset', 'bpp'} and the usual extensions.
+
+    ``nnls_opts`` (activeset only) tunes the inner NNLS throughput/quality
+    trade-off: ``max_outer`` (default 5k+10, exact), ``inner_cap``,
+    ``opt_tol_ulps`` (CG dual tolerance; default 100).  Measured on v5e
+    at 4096x2048 rank 64: exact defaults 7.4 it/s; a handful of
+    degenerate columns cycle on CG-noise duals until the bound, so
+    ``dict(max_outer=16, opt_tol_ulps=1000.0)`` reaches 63 it/s within
+    ~1% of the exact trajectory's objective, and
+    ``dict(opt_tol_ulps=10000.0)`` 187 it/s within ~5% (docs/PERF.md).
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
@@ -173,6 +188,7 @@ def anls(
         masked_solver = anls_masked_solver(jax.default_backend())
     if masked_solver not in ("chol", "cg"):
         raise ValueError("masked_solver must be 'chol' or 'cg'")
+    nnls_opts_t = tuple(sorted((nnls_opts or {}).items()))
 
     x = jnp.asarray(x)
     if use_pallas is None:
@@ -224,6 +240,7 @@ def anls(
             distance_type=distance_type,
             nnls_solver=nnls_solver,
             solve_method=masked_solver,
+            nnls_opts_t=nnls_opts_t,
             min_iter=min_iter,
             max_iter=max_iter,
             use_pallas=use_pallas,
@@ -246,7 +263,8 @@ def anls(
                 w, h, obj = _anls_iter(
                     x, w, h, lambda_w, lambda_h, k=k,
                     distance_type=distance_type, nnls_solver=nnls_solver,
-                    solve_method=masked_solver, use_pallas=use_pallas,
+                    solve_method=masked_solver, nnls_opts_t=nnls_opts_t,
+                    use_pallas=use_pallas,
                 )
                 obj = float(obj)
                 obj_buf[i + 1] = obj
