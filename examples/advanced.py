@@ -1,0 +1,60 @@
+"""Advanced features tour: sharded solvers, local sparsity, out-of-core.
+
+Run on any machine (uses an emulated 8-device CPU mesh):
+
+    python examples/advanced.py
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") +
+    " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpunmf.parallel import build_mesh, mur_rank_sharded, mur_ulysses
+from tpunmf.solvers import ao_admm, mur_streaming_sharded
+
+rng = np.random.default_rng(0)
+m, n, k = 64, 96, 8
+x = (rng.random((m, k)) @ rng.random((k, n))).astype(np.float32)
+w0 = rng.random((m, k)).astype(np.float32)
+h0 = rng.random((k, n)).astype(np.float32)
+
+# 1. Ulysses-style alternating-layout MUR: X flips between row- and
+#    column-sharded layouts with one all_to_all per half-iteration
+mesh = build_mesh(shape=(8,), axis_names=("cols",))
+w, h, obj = mur_ulysses(mesh, x, w0, h0, n_iter=50)
+print(f"mur_ulysses:      obj = {float(obj):.4f}")
+
+# 2. Rank-sharded (expert-parallel analog) MUR: the k components are
+#    sharded across devices; factors are never gathered
+rank_mesh = build_mesh(shape=(8,), axis_names=("rank",))
+w, h, obj = mur_rank_sharded(rank_mesh, x, w0, h0, n_iter=50,
+                             distance_type="eu")
+print(f"mur_rank_sharded: obj = {float(obj):.4f}")
+
+# 3. Local-sparsity AO-ADMM: l1,inf-regularized W via the coupled
+#    two-block subproblem with adaptive rho balancing
+res = ao_admm(x + 0.05, k, rho_mode="adaptive", reg_w=(0.3, "l1inf"),
+              reg_h=(0, "nn"), min_iter=5, max_iter=40, admm_iter=8)
+print(f"local-sparsity AO-ADMM: obj {res.obj_history[0]:.1f} -> "
+      f"{res.obj_history[-1]:.1f}, median row-l1 of W = "
+      f"{np.median(res.w.sum(axis=1)):.3f}")
+
+# 4. Out-of-core: sparse V streamed in row blocks, H column-sharded,
+#    each block densified exactly once per iteration
+dense = rng.random((m, n)).astype(np.float32)
+dense[dense < 0.6] = 0.0
+res = mur_streaming_sharded(sp.csr_matrix(dense), k, mesh, row_block=32,
+                            min_iter=5, max_iter=30)
+print(f"streaming sharded: obj {res.obj_history[0]:.1f} -> "
+      f"{res.obj_history[-1]:.1f}  (i = {res.i})")
