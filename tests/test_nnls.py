@@ -115,3 +115,20 @@ def test_spd_solve_cg_matches_chol(rng):
     direct = np.asarray(spd_solve(a, b, method="chol"))
     cg = np.asarray(spd_solve(a, b, method="cg"))
     np.testing.assert_allclose(cg, direct, rtol=1e-9, atol=1e-11)
+
+
+def test_freeze_stalled_guard_preserves_optimum(rng):
+    """The objective-stall guard must not change exact solutions (the
+    exact path strictly decreases; the guard only retires noise-cycling
+    columns)."""
+    import numpy as np
+
+    from tpunmf.nnls import nnls_activeset
+
+    l, p = 12, 40
+    c = rng.standard_normal((30, l))
+    ct_c = c.T @ c + 1e-6 * np.eye(l)
+    ct_a = c.T @ rng.standard_normal((30, p))
+    on = np.asarray(nnls_activeset(ct_c, ct_a, freeze_stalled=True))
+    off = np.asarray(nnls_activeset(ct_c, ct_a, freeze_stalled=False))
+    np.testing.assert_allclose(on, off, rtol=1e-10, atol=1e-12)

@@ -151,10 +151,11 @@ def _one_hot_cols(idx, l):
 
 
 @partial(jax.jit, static_argnames=("max_outer", "inner_cap", "solve_method",
-                                   "opt_tol_ulps"))
+                                   "opt_tol_ulps", "freeze_stalled"))
 def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
                    inner_cap: int = 0, solve_method: str = "chol",
-                   opt_tol_ulps: float = 100.0):
+                   opt_tol_ulps: float = 100.0,
+                   freeze_stalled: bool = True):
     """Batched NNLS via masked active sets.
 
     Args:
@@ -169,6 +170,16 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         ``iter_max = 3 * l_var`` (nmf/fcnnls.py:10); default 3*l.
       solve_method: 'chol' (batched Cholesky, exact) or 'cg'
         (GEMM-shaped CG, see masked_solve_cg — faster on TPU).
+      opt_tol_ulps: CG-path dual optimality slack in units of dtype ulps
+        (exact solves use a zero tolerance regardless).
+      freeze_stalled: anti-cycling guard — a column whose NNLS objective
+        fails to decrease by more than ~64 ulps (relative) across an
+        exchange is at its numerical optimum and is retired.  The exact
+        active-set method decreases the objective strictly at every
+        exchange, so this never fires on the mathematical path; it only
+        stops columns cycling on solver-precision noise (which otherwise
+        re-solve until max_outer — measured ~90% of ANLS iteration time
+        on TPU, docs/PERF.md round-2 attribution).
 
     Returns: (l, p) non-negative minimizer.
     """
@@ -217,11 +228,11 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         return (k, d, p_set, h_mask, it + 1)
 
     def outer_cond(c):
-        _, _, _, f_mask, _, it = c
+        _, _, _, f_mask, _, it, _ = c
         return jnp.logical_and(jnp.any(f_mask), it < max_outer)
 
     def outer_body(c):
-        k, d, p_set, f_mask, inner_it, it = c
+        k, d, p_set, f_mask, inner_it, it, q_prev = c
         if warm:
             # warm start: iteration 0's solve already happened at init
             # (p_set unchanged) — skip the redundant batched solve
@@ -255,18 +266,33 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         optimal = jnp.all(grad_off <= opt_tol[None, :], axis=0)
         f_mask = jnp.logical_and(f_mask, jnp.logical_not(optimal))
 
+        if freeze_stalled:
+            # per-column NNLS objective (up to the constant ||a_j||^2):
+            # q_j = 0.5 k^T CtC k - k^T cta = -0.5 * sum(k * (cta + w_grad))
+            # — strictly decreasing for exact exchanges, so no decrease
+            # means the column is at its numerical optimum (cycling on
+            # solver noise); retire it
+            q = -0.5 * jnp.sum(jnp.maximum(k, 0.0) * (ct_a + w_grad), axis=0)
+            tol = 64.0 * jnp.finfo(ct_a.dtype).eps * (jnp.abs(q_prev) + 1e-30)
+            stalled = q >= q_prev - tol
+            f_mask = jnp.logical_and(
+                f_mask, jnp.logical_or(it == 0, jnp.logical_not(stalled)))
+            q_prev = jnp.where(f_mask, q, q_prev)
+
         # grow passive set with the steepest off-set gradient per column
         grad_neg_inf = jnp.where(p_set, -jnp.inf, w_grad)
         mx_idx = jnp.argmax(grad_neg_inf, axis=0)
         grow = jnp.logical_and(_one_hot_cols(mx_idx, l), f_mask[None, :])
         p_set = jnp.logical_or(p_set, grow)
         d = jnp.where(f_mask[None, :], k, d)
-        return (k, d, p_set, f_mask, inner_it, it + 1)
+        return (k, d, p_set, f_mask, inner_it, it + 1, q_prev)
 
-    k, _, _, _, _, _ = jax.lax.while_loop(
+    q0 = jnp.full((p,), jnp.inf, dtype=ct_a.dtype)
+    k, _, _, _, _, _, _ = jax.lax.while_loop(
         outer_cond,
         outer_body,
-        (k, d, p_set, f_mask, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+        (k, d, p_set, f_mask, jnp.asarray(0, jnp.int32),
+         jnp.asarray(0, jnp.int32), q0),
     )
     return jnp.maximum(k, 0.0)
 
