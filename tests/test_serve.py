@@ -73,3 +73,35 @@ def test_retrieval_cache_reuse(factors):
     topk_retrieval(mesh, w, h, 5)
     after = len(topk_mod._RETRIEVAL_CACHE)
     assert after <= before + 1
+
+
+def test_approximate_retrieval(rng):
+    """recall_target < 1 routes through lax.approx_max_k; on CPU the
+    fallback is exact, so results must coincide with the exact path."""
+    import jax
+    import numpy as np
+
+    from tpunmf.parallel import build_mesh, nmf_shardings
+    from tpunmf.serve import recall_at_k, topk_retrieval
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    b, r, n, k = 4, 6, 128, 10
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    hs = jax.device_put(jnp.asarray(h), NamedSharding(mesh, P(None, "cols")))
+    v_ex, i_ex = topk_retrieval(mesh, jnp.asarray(w), hs, k)
+    v_ap, i_ap = topk_retrieval(mesh, jnp.asarray(w), hs, k,
+                                recall_target=0.95)
+    rec = recall_at_k(np.asarray(i_ap), np.asarray(i_ex))
+    assert rec >= 0.95  # exact on CPU fallback; >= target on TPU
+    # single-device approximate path
+    v1, i1 = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
+                            recall_target=0.9)
+    assert np.asarray(i1).shape == (b, k)

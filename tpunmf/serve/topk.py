@@ -39,7 +39,8 @@ _RETRIEVAL_CACHE: OrderedDict = OrderedDict()
 _RETRIEVAL_CACHE_MAX = 32
 
 
-def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool):
+def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
+                             recall_target: float = 1.0):
     n_shards = mesh.shape["cols"]
     n_local = n // n_shards
 
@@ -48,7 +49,15 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool):
         if excl_loc is not None:
             scores = jnp.where(excl_loc, -jnp.inf, scores)
         kk = min(k, n_local)
-        vals, idx = jax.lax.top_k(scores, kk)  # local candidates
+        if recall_target < 1.0:
+            # TPU-native approximate top-k (bitonic partial reduce):
+            # much cheaper than the full sort at large n_local, with the
+            # requested per-shard recall (the final cross-shard re-rank
+            # below is exact over the gathered candidates)
+            vals, idx = jax.lax.approx_max_k(
+                scores, kk, recall_target=recall_target)
+        else:
+            vals, idx = jax.lax.top_k(scores, kk)  # local candidates
         offset = jax.lax.axis_index("cols") * n_local
         idx = idx + offset
         # gather candidates from every shard and re-rank
@@ -74,7 +83,8 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool):
     return jax.jit(mapped)
 
 
-def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
+def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
+                   recall_target: float = 1.0):
     """Top-k item retrieval for a batch of user factors.
 
     Args:
@@ -85,15 +95,23 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
       k: number of items to return per user.
       exclude: optional (b, n) bool mask of items to exclude (e.g. already
         interacted) — applied before ranking.
+      recall_target: 1.0 (default) = exact two-stage top-k; < 1.0 switches
+        the per-shard stage to the TPU-native ``lax.approx_max_k``
+        partial reduction with that expected per-shard recall — the
+        "approximate top-k kernel" of the BASELINE north star, for item
+        counts where the full per-shard sort dominates.
 
-    Returns: (values (b, k), indices (b, k)) global item indices, exact.
-    The compiled retrieval function is cached per (mesh, k, n, exclusion)
-    so repeated serving calls don't re-trace.
+    Returns: (values (b, k), indices (b, k)) global item indices.
+    The compiled retrieval function is cached per
+    (mesh, k, n, exclusion, recall_target) so repeated serving calls
+    don't re-trace.
     """
     if mesh is None or "cols" not in mesh.axis_names:
         scores = w_batch @ h
         if exclude is not None:
             scores = jnp.where(exclude, -jnp.inf, scores)
+        if recall_target < 1.0:
+            return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
         return jax.lax.top_k(scores, k)
 
     n = h.shape[1]
@@ -101,10 +119,11 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None):
     if n % n_shards:
         raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
 
-    cache_key = (mesh, k, n, exclude is not None)
+    cache_key = (mesh, k, n, exclude is not None, recall_target)
     fn = _RETRIEVAL_CACHE.get(cache_key)
     if fn is None:
-        fn = _build_sharded_retrieval(mesh, k, n, exclude is not None)
+        fn = _build_sharded_retrieval(mesh, k, n, exclude is not None,
+                                      recall_target)
         _RETRIEVAL_CACHE[cache_key] = fn
         while len(_RETRIEVAL_CACHE) > _RETRIEVAL_CACHE_MAX:
             _RETRIEVAL_CACHE.popitem(last=False)
