@@ -104,3 +104,36 @@ def test_config_tag_rejects_different_regularization(tmp_path, lowrank_data):
     with pytest.raises(ValueError, match="configuration mismatch"):
         mur(lowrank_data, 5, lambda_h=0.5, checkpoint_path=ck,
             checkpoint_every=5, resume=True, **kw)
+
+
+def test_orbax_backend_roundtrip(tmp_path, lowrank_data):
+    """The orbax backend restores the exact same carry as npz."""
+    import numpy as np
+
+    from tpunmf.io.checkpoint import (
+        checkpoint_exists_orbax,
+        load_state_orbax,
+        save_state_orbax,
+    )
+    from tpunmf.solvers.common import init_carry
+
+    import jax.numpy as jnp
+
+    w = jnp.asarray(lowrank_data[:, :4])
+    h = jnp.asarray(lowrank_data[:4, :])
+    carry = init_carry(jnp.asarray(1.25), 20, (w, h))
+    path = str(tmp_path / "state")
+    assert not checkpoint_exists_orbax(path)
+    save_state_orbax(path, carry, meta="cfg-1")
+    assert checkpoint_exists_orbax(path)
+
+    restored = load_state_orbax(path, carry, expected_meta="cfg-1")
+    np.testing.assert_array_equal(np.asarray(restored.inner[0]), np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(restored.obj_buf),
+                                  np.asarray(carry.obj_buf))
+    assert int(restored.i) == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mismatch"):
+        load_state_orbax(path, carry, expected_meta="cfg-2")

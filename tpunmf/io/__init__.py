@@ -1,4 +1,6 @@
-from .checkpoint import checkpoint_exists, load_state, save_state
+from .checkpoint import (checkpoint_exists, checkpoint_exists_orbax,
+                         load_state, load_state_orbax, save_state,
+                         save_state_orbax)
 from .npz import load_results, save_results
 
 __all__ = [
@@ -7,4 +9,7 @@ __all__ = [
     "save_state",
     "load_state",
     "checkpoint_exists",
+    "checkpoint_exists_orbax",
+    "save_state_orbax",
+    "load_state_orbax",
 ]

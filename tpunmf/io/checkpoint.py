@@ -79,3 +79,67 @@ def load_state(path: str, template, expected_meta=None):
 
 def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path if path.endswith(".npz") else path + ".npz")
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): same carry surface, directory-based storage.
+# Orbax brings async writes and multi-host-coordinated checkpointing for
+# free, which matters once solvers run on real multi-host slices; the
+# npz backend above stays the default (single-file, dependency-light).
+# ---------------------------------------------------------------------------
+
+
+def _orbax_dir(path: str) -> str:
+    return os.path.abspath(path if path.endswith(".orbax") else path + ".orbax")
+
+
+def save_state_orbax(path: str, carry, meta=None) -> str:
+    """Save a solver carry through orbax (directory ``path + '.orbax'``)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    leaves = jax.tree_util.tree_leaves(carry)
+    tree = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    d = _orbax_dir(path)
+    with ocp.StandardCheckpointer() as ck:
+        ck.save(d, tree, force=True)
+        ck.wait_until_finished()
+    with open(os.path.join(d, "tpunmf_meta.json"), "w") as f:
+        json.dump({"n_leaves": len(leaves), "meta": meta}, f)
+    return d
+
+
+def load_state_orbax(path: str, template, expected_meta=None):
+    """Restore a carry saved by :func:`save_state_orbax` into the
+    structure of ``template`` (same meta-verification semantics as
+    :func:`load_state`)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    d = _orbax_dir(path)
+    with open(os.path.join(d, "tpunmf_meta.json")) as f:
+        info = json.load(f)
+    if expected_meta is not None and info.get("meta") is not None:
+        if info["meta"] != expected_meta:
+            raise ValueError(
+                "checkpoint configuration mismatch: saved by "
+                f"{info['meta']!r}, resuming as {expected_meta!r}"
+            )
+    t_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if info["n_leaves"] != len(t_leaves):
+        raise ValueError(
+            f"checkpoint has {info['n_leaves']} leaves but solver state "
+            f"has {len(t_leaves)} — configuration mismatch"
+        )
+    target = {f"leaf_{i}": np.asarray(t) for i, t in enumerate(t_leaves)}
+    with ocp.StandardCheckpointer() as ck:
+        out = ck.restore(d, target)
+    leaves = [np.asarray(out[f"leaf_{i}"]).astype(np.asarray(t).dtype)
+              for i, t in enumerate(t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def checkpoint_exists_orbax(path: str) -> bool:
+    return os.path.isdir(_orbax_dir(path))
