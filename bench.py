@@ -156,7 +156,9 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
 
     assert int(out.i) == iters
     iters_per_sec = iters / best_dt
-    flops_per_iter = 6 * m * n * k + 6 * (m + n) * k * k
+    # 2 m*n*k-scale GEMMs per iteration (X@H^T, W^T@X) = 4mnk; the k x k
+    # Gram algebra is the trailing term
+    flops_per_iter = 4 * m * n * k + 6 * (m + n) * k * k
     # required traffic: X read once (single-pass kernel), W r+w, H r+w,
     # WtX w+r — temporaries excluded (conservative: fewer bytes => lower
     # reported roofline fraction)

@@ -12,7 +12,9 @@ current jax/libtpu.
           — round 1: compilation stall.
 
 Usage: python repro_nested.py            # run all in subprocesses
-       python repro_nested.py A|B|C      # run one case inline
+       python repro_nested.py A C        # run a subset (still subprocessed)
+       python repro_nested.py --inline B # run one case in THIS process
+                                         # (full crash output, attachable)
 """
 import os
 import subprocess

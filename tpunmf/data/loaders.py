@@ -86,7 +86,13 @@ def load_movielens(path: str):
         else:
             sep, skip = "\t", 0
 
-    users, items, vals = [], [], []
+    # compact typed buffers, not lists of boxed Python objects — ML-20M
+    # has 20M rows, which would otherwise cost gigabytes transiently
+    from array import array
+
+    users = array("q")
+    items = array("q")
+    vals = array("f")
     with open(path, "r", encoding="utf-8", errors="replace") as f:
         for ln, line in enumerate(f):
             if ln < skip or not line.strip():
@@ -95,11 +101,14 @@ def load_movielens(path: str):
             users.append(int(parts[0]))
             items.append(int(parts[1]))
             vals.append(float(parts[2]))
+    users = np.frombuffer(users, dtype=np.int64)
+    items = np.frombuffer(items, dtype=np.int64)
+    vals = np.frombuffer(vals, dtype=np.float32)
 
     user_ids, u_idx = np.unique(users, return_inverse=True)
     item_ids, i_idx = np.unique(items, return_inverse=True)
     mat = sp.coo_matrix(
-        (np.asarray(vals, dtype=np.float32), (u_idx, i_idx)),
+        (vals, (u_idx, i_idx)),
         shape=(len(user_ids), len(item_ids)),
     ).tocsr()
     return mat, user_ids, item_ids

@@ -105,8 +105,13 @@ def save_state_orbax(path: str, carry, meta=None) -> str:
     with ocp.StandardCheckpointer() as ck:
         ck.save(d, tree, force=True)
         ck.wait_until_finished()
-    with open(os.path.join(d, "tpunmf_meta.json"), "w") as f:
+    # meta lands atomically AFTER the checkpoint is finalized; existence
+    # checks key on this file, so a crash in the save window never leaves
+    # a checkpoint that "exists" but cannot be loaded
+    meta_tmp = os.path.join(d, ".tpunmf_meta.json.tmp")
+    with open(meta_tmp, "w") as f:
         json.dump({"n_leaves": len(leaves), "meta": meta}, f)
+    os.replace(meta_tmp, os.path.join(d, "tpunmf_meta.json"))
     return d
 
 
@@ -142,4 +147,6 @@ def load_state_orbax(path: str, template, expected_meta=None):
 
 
 def checkpoint_exists_orbax(path: str) -> bool:
-    return os.path.isdir(_orbax_dir(path))
+    # the meta file is written (atomically) only after orbax finalizes,
+    # so its presence certifies a complete, loadable checkpoint
+    return os.path.exists(os.path.join(_orbax_dir(path), "tpunmf_meta.json"))

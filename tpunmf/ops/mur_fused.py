@@ -144,8 +144,11 @@ def _w_kl_obj_kernel(x_ref, h_ref, w_ref, hsum_ref, lam_ref, out_ref, acc_ref,
 def _compiler_params(semantics, interpret):
     """dimension_semantics hint for the Mosaic pipeliner (None = default).
 
-    The fused kernels' first grid axis is embarrassingly parallel (disjoint
-    output rows/cols) and the second is the revisiting contraction axis."""
+    For the plain fused kernels the first grid axis is embarrassingly
+    parallel (disjoint output rows/cols) and the second is the revisiting
+    contraction axis.  NOT true for kernels that accumulate a scalar
+    across axis 0 (the lagged-objective KL W-kernel) — their callers must
+    not pass PARALLEL for that axis (enforced in mur_w_update)."""
     if semantics is None or interpret:
         return None
     return pltpu.CompilerParams(dimension_semantics=semantics)
@@ -159,6 +162,15 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
     With ``with_lagged_obj`` (KL only) also returns KL(x, w@h) of the
     INCOMING factors — free, since the pass forms those wh tiles anyway.
     """
+    if with_lagged_obj and dimension_semantics is not None:
+        # the lagged-objective kernel accumulates a scalar across grid
+        # axis 0 — PARALLEL semantics there would race the accumulator
+        first = dimension_semantics[0]
+        if str(getattr(first, "value", first)).lower() != "arbitrary":
+            raise ValueError(
+                "with_lagged_obj accumulates across grid axis 0; "
+                "dimension_semantics[0] must be ARBITRARY"
+            )
     m, n = x.shape
     k = w.shape[1]
     nj = n // bn
@@ -294,7 +306,7 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
     kern = functools.partial(_iter_eu_kernel, ni=ni)
     cost = pl.CostEstimate(
-        flops=6 * m * n * k,
+        flops=4 * m * n * k,
         bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,
         transcendentals=0,
     )

@@ -54,6 +54,13 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
         n = x_loc.shape[1]
         n_loc = n // p
         idx = jax.lax.axis_index(axis)
+        # X is loop-invariant, so the rows->cols flip happens ONCE before
+        # the loop (XLA cannot hoist a collective out of a while loop);
+        # per iteration only the small W gather + H gather move.  Peak
+        # per-device X memory is two panels either way (both layouts are
+        # live during a flip).
+        x_cols = jax.lax.all_to_all(x_loc, axis, split_axis=1,
+                                    concat_axis=0, tiled=True)
 
         def body(t, carry):
             w_loc, h, _ = carry
@@ -61,9 +68,7 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
             gram_h = h @ h.T
             w_loc = w_loc * (x_loc @ h.T) / (
                 w_loc @ gram_h + lambda_w * w_loc + _EPS)
-            # --- layout flip (Ulysses): X rows -> cols, W gathered
-            x_cols = jax.lax.all_to_all(x_loc, axis, split_axis=1,
-                                        concat_axis=0, tiled=True)
+            # --- layout switch (Ulysses): W gathered for the column half
             w_full = jax.lax.all_gather(w_loc, axis, axis=0, tiled=True)
             # --- H half: each device updates its own column block
             h_blk = jax.lax.dynamic_slice_in_dim(h, idx * n_loc, n_loc, axis=1)
@@ -151,10 +156,9 @@ def _mur_rank_jit(mesh, x, w, h, lambda_w, lambda_h, *, axis, n_iter,
             d = jnp.sum(w_loc, axis=0)[:, None]
             h_loc = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
             wh = recon(w_loc, h_loc)
-            value = x_rep * jnp.log(x_rep / wh)
-            value = jnp.where(value == jnp.inf, 0.0, value)
-            value = jnp.where(jnp.isnan(value), 0.0, value)
-            obj = jnp.sum(value - x_rep + wh)
+            from ..core.losses import kl_elementwise_sum
+
+            obj = kl_elementwise_sum(x_rep, wh)
             return (w_loc, h_loc, obj)
 
         body = body_kl if distance_type == "kl" else body_eu

@@ -66,7 +66,7 @@ def _terminated(h, h_prev, h_aux, dual):
 
 
 def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
-                    spd_solver="chol"):
+                    spd_solver="chol", upper_bound=1.0):
     """Least-squares inner ADMM (nmf/ao_admm.py:46-68), jit-friendly."""
     g = w.T @ w
     rho = jnp.trace(g) / k
@@ -81,7 +81,8 @@ def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
         j, h, dual, _ = c
         h_aux = _subproblem_solve(g, rho, cho, wty + rho * (h + dual), spd_solver)
         h_prev = h
-        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_)
+        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
+                 upper_bound=upper_bound)
         dual = dual + h - h_aux
         return (j + 1, h, dual, _terminated(h, h_prev, h_aux, dual))
 
@@ -92,7 +93,7 @@ def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
 
 
 def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
-                    lambda_, spd_solver="chol"):
+                    lambda_, spd_solver="chol", upper_bound=1.0):
     """KL inner ADMM with data-term split (nmf/ao_admm.py:71-101)."""
     g = w.T @ w
     rho = jnp.trace(g) / k
@@ -109,7 +110,8 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
             g, rho, cho, w.T @ (v_aux + dual_v) + rho * (h + dual_h), spd_solver
         )
         h_prev = h
-        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_)
+        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
+                 upper_bound=upper_bound)
 
         wh_aux = w @ h_aux
         v_bar = wh_aux - dual_v
@@ -177,20 +179,21 @@ def _ao_admm_block(
 
             return admm_ls_update_adaptive(
                 y, w, h, dual, k, prox_h, admm_iter, lambda_h, spd_solver,
-                tau, eta,
+                tau, eta, upper_bound,
             )
         return _admm_ls_update(y, w, h, dual, k, prox_h, admm_iter, lambda_h,
-                               spd_solver)
+                               spd_solver, upper_bound)
 
     def ls_update_w(y, hh, w, dual, ptype, lam):
         if adaptive:
             from .ao_admm_local import admm_ls_update_adaptive
 
             return admm_ls_update_adaptive(
-                y, hh, w, dual, k, ptype, admm_iter, lam, spd_solver, tau, eta,
+                y, hh, w, dual, k, ptype, admm_iter, lam, spd_solver, tau,
+                eta, upper_bound,
             )
         return _admm_ls_update(y, hh, w, dual, k, ptype, admm_iter, lam,
-                               spd_solver)
+                               spd_solver, upper_bound)
 
     def kl_update(vv, v_aux, dual_v, w, h, dual_h, ptype, lam):
         if adaptive:
@@ -198,10 +201,10 @@ def _ao_admm_block(
 
             return admm_kl_update_adaptive(
                 vv, v_aux, dual_v, w, h, dual_h, k, ptype, admm_iter, lam,
-                spd_solver, tau, eta,
+                spd_solver, tau, eta, upper_bound,
             )
         return _admm_kl_update(vv, v_aux, dual_v, w, h, dual_h, k, ptype,
-                               admm_iter, lam, spd_solver)
+                               admm_iter, lam, spd_solver, upper_bound)
 
     def step_eu(inner, i):
         w, h, dual_w, dual_h = inner

@@ -83,7 +83,7 @@ def _terminated_rel(h, h_prev, h_aux, dual):
 
 
 def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
-                            spd_solver, tau, eta):
+                            spd_solver, tau, eta, upper_bound=1.0):
     """Least-squares inner ADMM (nmf/ao_admm.py:46-68) with residual
     balancing on rho inside the loop.  rho restarts at trace(G)/k each
     (outer) call, like the reference's per-subproblem adaptive rho."""
@@ -100,7 +100,8 @@ def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
         j, h, dual, rho, _ = c
         h_aux = _solve_spd(g + rho * keye, wty + rho * (h + dual), spd_solver)
         h_prev = h
-        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_)
+        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
+                 upper_bound=upper_bound)
         dual = dual + h - h_aux
         done = _terminated_rel(h, h_prev, h_aux, dual)
         # scaled residuals (Boyd §3.3): r = rho (h - h_aux), s = rho (h - h_prev)
@@ -117,7 +118,8 @@ def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
 
 
 def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
-                            admm_iter, lambda_, spd_solver, tau, eta):
+                            admm_iter, lambda_, spd_solver, tau, eta,
+                            upper_bound=1.0):
     """KL inner ADMM (nmf/ao_admm.py:71-101) with adaptive rho.
 
     ``dual_v`` is never rescaled on rho changes: the data-term split
@@ -139,7 +141,8 @@ def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
             spd_solver,
         )
         h_prev = h
-        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_)
+        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
+                 upper_bound=upper_bound)
 
         wh_aux = w @ h_aux
         v_bar = wh_aux - dual_v

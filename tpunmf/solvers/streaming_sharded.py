@@ -103,12 +103,11 @@ def _block_kl_rht_obj(x_block, w_block, h):
     """KL ratio numerator AND the masked KL objective contribution of the
     incoming (w_block, h) — the wh tiles are already formed for the
     ratio, so the lagged objective costs nothing extra."""
+    from ..core.losses import kl_elementwise_sum
+
     wh = w_block @ h
     r = x_block / (wh + _EPS)
-    val = x_block * jnp.log(x_block / wh)
-    val = jnp.where(val == jnp.inf, 0.0, val)
-    val = jnp.where(jnp.isnan(val), 0.0, val)
-    return r @ h.T, jnp.sum(val - x_block + wh)
+    return r @ h.T, kl_elementwise_sum(x_block, wh)
 
 
 def mur_streaming_sharded(
