@@ -184,3 +184,19 @@ def test_fixed_mode_unchanged_by_new_params():
                  rho_tau=3.0, rho_eta=5.0, upper_bound=2.0)
     np.testing.assert_array_equal(r1.w, r2.w)
     np.testing.assert_array_equal(r1.h, r2.h)
+
+
+def test_plain_l1inf_fixed_mode_stable():
+    """Fixed-rho AO-ADMM with the plain l1inf prox must not diverge (the
+    inner updates route to the stable ball prox) and must honor
+    upper_bound."""
+    v = _problem(seed=7)
+    r1 = ao_admm(v, 4, reg_w=(0.5, "l1inf"), min_iter=3, max_iter=15,
+                 tol1=0.0, tol2=0.0)
+    r2 = ao_admm(v, 4, reg_w=(0.5, "l1inf"), upper_bound=5.0, min_iter=3,
+                 max_iter=15, tol1=0.0, tol2=0.0)
+    assert np.all(np.isfinite(r1.obj_history))
+    assert np.all(np.isfinite(r2.obj_history))
+    s1 = np.median(np.sum(r1.w, axis=1))
+    s2 = np.median(np.sum(r2.w, axis=1))
+    assert s2 > s1  # larger budget -> larger rows

@@ -56,6 +56,31 @@ def _subproblem_solve(g, rho, cho, b, method):
     return spd_solve(g + rho * jnp.eye(k, dtype=g.dtype), b, method="cg")
 
 
+def _inner_prox(prox_type, mat_aux, dual, *, rho, lambda_, upper_bound):
+    """Prox step for the inner ADMM updates.
+
+    ``l1inf``/``l1inf_transpose`` route to the self-consistent exact
+    water-filling prox (prox/operators.prox_l1inf_ball) at the ADMM point
+    ``mat_aux - dual``: the reference-parity ``prox_l1inf`` preserves the
+    reference's mat_aux+dual / mat_aux-dual sign mix and its unclamped
+    water level, whose unbounded output diverges within a few AO-ADMM
+    outer iterations once duals grow (the reference's own AO-ADMM would
+    NaN identically; flat ADMM keeps the parity version for its golden
+    tests, where it is stable).
+    """
+    if prox_type in ("l1inf", "l1inf_transpose"):
+        from ..prox.operators import prox_l1inf_ball
+
+        z = mat_aux - dual
+        if prox_type == "l1inf_transpose":
+            return prox_l1inf_ball(z.T, rho=rho, lambda_=lambda_,
+                                   upper_bound=upper_bound).T
+        return prox_l1inf_ball(z, rho=rho, lambda_=lambda_,
+                               upper_bound=upper_bound)
+    return prox(prox_type, mat_aux, dual, rho=rho, lambda_=lambda_,
+                upper_bound=upper_bound)
+
+
 def _terminated(h, h_prev, h_aux, dual):
     """Reference terminate() (nmf/ao_admm.py:33-43): relative primal/dual
     residuals both below 1e-2.  Zero-norm duals give inf/nan -> False,
@@ -81,8 +106,8 @@ def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
         j, h, dual, _ = c
         h_aux = _subproblem_solve(g, rho, cho, wty + rho * (h + dual), spd_solver)
         h_prev = h
-        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
-                 upper_bound=upper_bound)
+        h = _inner_prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
+                        upper_bound=upper_bound)
         dual = dual + h - h_aux
         return (j + 1, h, dual, _terminated(h, h_prev, h_aux, dual))
 
@@ -110,8 +135,8 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
             g, rho, cho, w.T @ (v_aux + dual_v) + rho * (h + dual_h), spd_solver
         )
         h_prev = h
-        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
-                 upper_bound=upper_bound)
+        h = _inner_prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
+                        upper_bound=upper_bound)
 
         wh_aux = w @ h_aux
         v_bar = wh_aux - dual_v

@@ -42,8 +42,8 @@ import jax
 import jax.numpy as jnp
 
 from ..core.linalg import spd_solve
-from ..prox import prox
 from ..prox.operators import prox_l1inf_ball
+from .ao_admm import _inner_prox
 
 _EPS_ABS = 1e-6
 _EPS_REL = 1e-3
@@ -100,8 +100,8 @@ def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
         j, h, dual, rho, _ = c
         h_aux = _solve_spd(g + rho * keye, wty + rho * (h + dual), spd_solver)
         h_prev = h
-        h = prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
-                 upper_bound=upper_bound)
+        h = _inner_prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
+                        upper_bound=upper_bound)
         dual = dual + h - h_aux
         done = _terminated_rel(h, h_prev, h_aux, dual)
         # scaled residuals (Boyd §3.3): r = rho (h - h_aux), s = rho (h - h_prev)
@@ -141,8 +141,8 @@ def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
             spd_solver,
         )
         h_prev = h
-        h = prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
-                 upper_bound=upper_bound)
+        h = _inner_prox(prox_type, h_aux, dual_h, rho=rho, lambda_=lambda_,
+                        upper_bound=upper_bound)
 
         wh_aux = w @ h_aux
         v_bar = wh_aux - dual_v
