@@ -159,3 +159,18 @@ def test_ring_rotate_h_matches_dense(rng):
     out = ring_xht_rotate_h(mesh, xs, hs)
     np.testing.assert_allclose(np.asarray(out), x @ h.T, rtol=1e-10)
     assert tuple(out.sharding.spec)[:1] == ("cols",)
+
+
+@needs_8_devices
+def test_mur_ulysses_kl_matches_single_device(rng):
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    m, n, k = 64, 96, 8
+    x = rng.random((m, n)) + 0.05
+    w0 = rng.random((m, k))
+    h0 = rng.random((k, n))
+    w_s, h_s, obj_s = mur_ulysses(mesh, x, w0, h0, n_iter=10,
+                                  distance_type="kl")
+    w_ref, h_ref, obj_ref = _mur_kl_steps(x, w0.copy(), h0.copy(), 10)
+    np.testing.assert_allclose(np.asarray(w_s), w_ref, rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(h_s), h_ref, rtol=1e-7)
+    np.testing.assert_allclose(float(obj_s), obj_ref, rtol=1e-8)

@@ -45,8 +45,9 @@ _EPS = 1e-9
 # Ulysses-style alternating-layout MUR (EU)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("mesh", "axis", "n_iter"))
-def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
+@partial(jax.jit, static_argnames=("mesh", "axis", "n_iter", "distance_type"))
+def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter,
+                     distance_type="eu"):
     p = mesh.shape[axis]
 
     def f(x_loc, w_loc, h_rep):
@@ -62,7 +63,7 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
         x_cols = jax.lax.all_to_all(x_loc, axis, split_axis=1,
                                     concat_axis=0, tiled=True)
 
-        def body(t, carry):
+        def body_eu(t, carry):
             w_loc, h, _ = carry
             # --- W half: X row-sharded, H replicated — fully local
             gram_h = h @ h.T
@@ -81,6 +82,30 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
             obj = 0.5 * jax.lax.psum(jnp.sum(d * d), axis)
             return (w_loc, h, obj)
 
+        def body_kl(t, carry):
+            # regularized KL closed forms (nmf/mur.py:25-27,41-45); the
+            # W half is local on the row panel, the H half on the column
+            # panel after the layout switch
+            w_loc, h, _ = carry
+            r = x_loc / (w_loc @ h + _EPS)
+            a = w_loc * (r @ h.T)
+            b = jnp.sum(h, axis=1)[None, :]
+            w_loc = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+            w_full = jax.lax.all_gather(w_loc, axis, axis=0, tiled=True)
+            h_blk = jax.lax.dynamic_slice_in_dim(h, idx * n_loc, n_loc, axis=1)
+            r2 = x_cols / (w_full @ h_blk + _EPS)
+            c = h_blk * (w_full.T @ r2)
+            d = jnp.sum(w_full, axis=0)[:, None]
+            h_blk = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+            h = jax.lax.all_gather(h_blk, axis, axis=1, tiled=True)
+            wh = w_full @ h_blk
+            val = x_cols * jnp.log(x_cols / wh)
+            val = jnp.where(val == jnp.inf, 0.0, val)
+            val = jnp.where(jnp.isnan(val), 0.0, val)
+            obj = jax.lax.psum(jnp.sum(val - x_cols + wh), axis)
+            return (w_loc, h, obj)
+
+        body = body_kl if distance_type == "kl" else body_eu
         obj0 = jnp.zeros((), dtype=x_loc.dtype)
         w_loc, h_rep, obj = jax.lax.fori_loop(
             0, n_iter, body, (w_loc, h_rep, obj0))
@@ -95,23 +120,27 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, *, axis, n_iter):
 
 
 def mur_ulysses(mesh: Mesh, x, w, h, *, n_iter: int, lambda_w=0.0,
-                lambda_h=0.0, axis: str | None = None):
-    """Run ``n_iter`` EU-MUR iterations with the alternating-layout
-    (all_to_all) schedule.  Requires m and n divisible by the mesh axis
-    size.  Returns (w, h, final_objective); w comes back row-sharded,
-    h replicated.
+                lambda_h=0.0, axis: str | None = None,
+                distance_type: str = "eu"):
+    """Run ``n_iter`` MUR iterations (EU or KL) with the
+    alternating-layout (all_to_all) schedule.  Requires m and n divisible
+    by the mesh axis size.  Returns (w, h, final_objective); w comes back
+    row-sharded, h replicated.
     """
     axis = axis or mesh.axis_names[0]
     p = mesh.shape[axis]
     m, n = x.shape
     if m % p or n % p:
         raise ValueError(f"m={m} and n={n} must divide the mesh axis ({p})")
+    if distance_type not in ("eu", "kl"):
+        raise ValueError("distance_type must be 'eu' or 'kl'")
     x = jax.device_put(x, NamedSharding(mesh, P(axis, None)))
     w = jax.device_put(w, NamedSharding(mesh, P(axis, None)))
     h = jax.device_put(h, NamedSharding(mesh, P()))
     return _mur_ulysses_jit(
         mesh, x, w, h, jnp.asarray(lambda_w, x.dtype),
-        jnp.asarray(lambda_h, x.dtype), axis=axis, n_iter=int(n_iter))
+        jnp.asarray(lambda_h, x.dtype), axis=axis, n_iter=int(n_iter),
+        distance_type=distance_type)
 
 
 # ---------------------------------------------------------------------------
