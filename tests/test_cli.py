@@ -61,3 +61,41 @@ def test_grid_command(tmp_path, data_file):
 def test_unknown_command(tmp_path, data_file):
     r = _run_cli(["explode"], tmp_path)
     assert r.returncode != 0
+
+
+def test_mur_lambda_grid_matches_sequential(lowrank_data):
+    """The vmapped lambda grid reproduces per-combination solver runs."""
+    import numpy as np
+
+    from tpunmf.experiments import mur_lambda_grid
+    from tpunmf.solvers import mur
+
+    rng = np.random.default_rng(0)
+    w0 = rng.random((lowrank_data.shape[0], 4)) + 0.1
+    h0 = rng.random((4, lowrank_data.shape[1])) + 0.1
+    lws, lhs = (0.0, 0.1), (0.0, 0.05)
+    combos, ws, hs, objs = mur_lambda_grid(
+        lowrank_data, 4, lambda_w=lws, lambda_h=lhs, n_iter=15,
+        w_init=w0, h_init=h0)
+    assert len(combos) == 4 and ws.shape[0] == 4 and objs.shape == (4, 15)
+    for b, (lw, lh) in enumerate(combos):
+        ref = mur(lowrank_data, 4, distance_type="eu", lambda_w=lw,
+                  lambda_h=lh, w_init=w0, h_init=h0, min_iter=15,
+                  max_iter=15, tol1=0.0, tol2=0.0, objective="exact")
+        np.testing.assert_allclose(np.asarray(ws[b]), ref.w, rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(objs[b]), np.asarray(ref.obj_history)[1:], rtol=1e-9)
+
+
+def test_mur_lambda_grid_kl(lowrank_data):
+    import numpy as np
+
+    from tpunmf.experiments import mur_lambda_grid
+
+    combos, ws, hs, objs = mur_lambda_grid(
+        lowrank_data + 0.05, 3, lambda_w=(0.0, 0.2), distance_type="kl",
+        n_iter=10)
+    assert np.all(np.isfinite(np.asarray(objs)))
+    # objective decreases for every combination
+    o = np.asarray(objs)
+    assert np.all(o[:, -1] <= o[:, 0])

@@ -51,6 +51,89 @@ def grid_search(
     return out
 
 
+def mur_lambda_grid(
+    data,
+    k: int,
+    *,
+    lambda_w: Sequence[float] = (0.0,),
+    lambda_h: Sequence[float] = (0.0,),
+    distance_type: str = "eu",
+    n_iter: int = 200,
+    w_init=None,
+    h_init=None,
+    key=None,
+):
+    """Vectorized (vmapped) MUR over the full (lambda_w x lambda_h) grid.
+
+    TPU-idiomatic hyperparameter search: ONE compile, every combination's
+    iterations batched on device (the grid axis rides the MXU batch
+    dimension), instead of `grid_search`'s one solver run per
+    combination.  All runs share the init and execute exactly ``n_iter``
+    iterations (no per-combination early stopping — pick winners from the
+    returned objective trajectories).
+
+    Returns ``(combos, ws, hs, obj_hist)`` where combos is the list of
+    (lambda_w, lambda_h) pairs in row-major grid order, ws is
+    (B, m, k), hs is (B, k, n) and obj_hist is (B, n_iter).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .init import random_init
+    from .solvers.mur import _EPS
+
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
+    x = jnp.asarray(data)
+    m, n = x.shape
+    if (w_init is None) != (h_init is None):
+        raise ValueError("pass both w_init and h_init, or neither")
+    if w_init is None:
+        w0, h0 = random_init(
+            key if key is not None else jax.random.PRNGKey(0),
+            m, n, k, kind="abs_normal", dtype=x.dtype,
+        )
+    else:
+        w0 = jnp.asarray(w_init, dtype=x.dtype)
+        h0 = jnp.asarray(h_init, dtype=x.dtype)
+
+    combos = [(lw, lh) for lw in lambda_w for lh in lambda_h]
+    lws = jnp.asarray([c[0] for c in combos], dtype=x.dtype)
+    lhs = jnp.asarray([c[1] for c in combos], dtype=x.dtype)
+
+    def one(lw, lh):
+        def step_eu(c, _):
+            w, h = c
+            w = w * (x @ h.T) / (w @ (h @ h.T) + lw * w + _EPS)
+            h = h * (w.T @ x) / ((w.T @ w) @ h + lh * h + _EPS)
+            obj = 0.5 * jnp.sum((x - w @ h) ** 2)
+            return (w, h), obj
+
+        def step_kl(c, _):
+            w, h = c
+            r = x / (w @ h + _EPS)
+            a = w * (r @ h.T)
+            b = jnp.sum(h, axis=1)[None, :]
+            w = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lw * a))
+            r2 = x / (w @ h + _EPS)
+            cc = h * (w.T @ r2)
+            d = jnp.sum(w, axis=0)[:, None]
+            h = 2.0 * cc / (d + jnp.sqrt(d * d + 4.0 * lh * cc))
+            wh = w @ h
+            val = x * jnp.log(x / wh)
+            val = jnp.where(val == jnp.inf, 0.0, val)
+            val = jnp.where(jnp.isnan(val), 0.0, val)
+            obj = jnp.sum(val - x + wh)
+            return (w, h), obj
+
+        step = step_kl if distance_type == "kl" else step_eu
+        (w, h), objs = jax.lax.scan(step, (w0, h0), None, length=n_iter)
+        return w, h, objs
+
+    ws, hs, objs = jax.jit(jax.vmap(one))(lws, lhs)
+    return combos, ws, hs, objs
+
+
 def run_param_file(data, factors: int, param_module: str, method: str = "mur"):
     """Factorize using a parameter module exposing ``method_params``
     (the reference's param_file mechanism, nmf/nmf.py:38-45, actually
