@@ -267,10 +267,11 @@ def mur(
         lambda_h=lambda_h,
     )
 
-    # data elevation for slightly-negative inputs (nmf/mur.py:99-102)
-    xmin = float(jnp.min(x))
-    if xmin < 0:
-        x = x + abs(xmin)
+    # data elevation for slightly-negative inputs (nmf/mur.py:99-102),
+    # computed on device: max(-min(x), 0) is the shift, 0 when x >= 0, so
+    # no host round-trip is needed (an eager float(jnp.min(x)) costs a
+    # full dispatch+fetch — seconds to minutes through the axon tunnel)
+    x = x + jnp.maximum(-jnp.min(x), jnp.asarray(0.0, dtype=x.dtype))
     if data_dtype is not None:
         x = x.astype(data_dtype)
     factor_dtype = jnp.float32 if x.dtype == jnp.bfloat16 else x.dtype
