@@ -226,3 +226,52 @@ def test_single_pass_iteration_eu_bf16(rng):
         np.asarray(w @ (h @ h.T)) + eps)
     np.testing.assert_allclose(np.asarray(w1), w_ref, rtol=2e-2)
     assert np.all(np.isfinite(np.asarray(wtx)))
+
+
+@pytest.mark.parametrize("bs", [None, 64])
+def test_single_pass_iteration_kl(rng, bs):
+    """mur_iteration_kl (resident and column-subblocked) vs jnp formulas."""
+    from tpunmf.ops.mur_fused import mur_iteration_kl
+
+    m, n, k = 64, 128, 8
+    lam = 0.2
+    eps = 1e-9
+    x = np.asarray(rng.random((m, n)), dtype=np.float32)
+    x[x < 0.2] = 0.0  # exercise the masked-KL zeros path
+    w = np.asarray(rng.random((m, k)) + 0.1, dtype=np.float32)
+    h = np.asarray(rng.random((k, n)) + 0.1, dtype=np.float32)
+
+    w1, wtr, obj = mur_iteration_kl(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(h),
+        lam_w=lam, bm=32, bs=bs, interpret=True)
+
+    wh = w @ h
+    numer = (x / (wh + eps)) @ h.T
+    a = w * numer
+    b = np.sum(h, axis=1)[None, :]
+    w_ref = 2.0 * a / (b + np.sqrt(b * b + 4.0 * lam * a))
+    np.testing.assert_allclose(np.asarray(w1), w_ref, rtol=2e-5)
+
+    wtr_ref = w_ref.T @ (x / (w_ref @ h + eps))
+    np.testing.assert_allclose(np.asarray(wtr), wtr_ref, rtol=2e-5)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        val = x * np.log(x / wh)
+    val[~np.isfinite(val)] = 0.0
+    obj_ref = np.sum(val - x + wh)
+    np.testing.assert_allclose(float(obj), obj_ref, rtol=1e-4)
+
+
+def test_iter_kl_tileable_selection():
+    """Resident single-pass engages where its full-width temps fit; wide-n
+    shapes fall back to the 2-pass path (the column-subblocked single-pass
+    variant measured SLOWER there — see iter_kl_tileable docstring — so it
+    is opt-in via mur_iteration_kl(bs=...) and never auto-selected)."""
+    from tpunmf.ops.mur_fused import iter_kl_tileable
+
+    k = 128
+    narrow = jax.ShapeDtypeStruct((8192, 4096), jnp.float32)
+    wide = jax.ShapeDtypeStruct((8192, 8192), jnp.float32)
+    sel_narrow = iter_kl_tileable(narrow, k)
+    assert sel_narrow is not None and sel_narrow[1] is None
+    assert iter_kl_tileable(wide, k) is None

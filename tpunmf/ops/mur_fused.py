@@ -379,12 +379,22 @@ def _iter_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,
 
 
 def iter_kl_tileable(x, k: int):
-    """Strip height bm for the single-pass KL kernel, or None.
+    """(bm, bs) for the single-pass KL kernel, or None.
 
-    Tighter than the EU version: two (bm, n) f32 wh/ratio temps live in
-    VMEM alongside the strip, H and the WtR accumulator.  Strips below
-    64 rows lose to the 2-pass path (measured: bm=32 at n=8192 runs 481
-    it/s vs 498 for 2-pass — too many grid steps), so only >=64 engages."""
+    bs=None selects the resident variant: two (bm, n) f32 wh/ratio temps
+    live in VMEM alongside the strip, H and the WtR accumulator.  Strips
+    below 64 rows lose to the 2-pass path (measured: bm=32 at n=8192 runs
+    481 it/s vs 498 for 2-pass — too many grid steps), so only >=64
+    engages.
+
+    The column-subblocked variant (bs=int, see _iter_kl_blocked_kernel)
+    would extend single-pass to wider n, but it LOSES to the 2-pass path
+    everywhere it fits and the resident variant doesn't (measured at
+    8192x8192 r128 through the solver loop: f32 bm=64/bs=2048 421 it/s vs
+    441 2-pass; bf16-X bm=128/bs=1024 456 it/s vs 530 2-pass — the
+    resident X row strip forces tiles whose MXU/pipeline efficiency costs
+    more than the saved second X read).  So it is opt-in via
+    ``mur_iteration_kl(..., bs=...)`` and never auto-selected."""
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     m, n = x.shape
@@ -396,24 +406,85 @@ def iter_kl_tileable(x, k: int):
             continue
         need = fixed + 2 * bm * n * xb + 2 * bm * n * 4 + 3 * bm * k * 4
         if need <= budget:
-            return bm
+            return bm, None
     return None
 
 
-def mur_iteration_kl(x, w, h, *, lam_w: float, bm: int,
+def _iter_kl_blocked_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,
+                            w_out_ref, wtr_ref, obj_ref, *, ni, bs):
+    """Column-subblocked single-pass KL iteration.
+
+    Same math and I/O as _iter_kl_kernel, but wh and the ratio are formed
+    (bm, bs) at a time inside two in-kernel loops — the full-width (bm, n)
+    f32 temps never exist, so the strip layout fits VMEM at n where the
+    resident variant can't (n ~ 8k at rank 128).  X is still read from HBM
+    exactly once; the second loop re-reads the strip from VMEM only."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        wtr_ref[:] = jnp.zeros_like(wtr_ref)
+        obj_ref[0, 0] = 0.0
+
+    w = w_ref[:]                                      # (bm, k) f32
+    bm, k = w.shape
+    nj = h_ref.shape[1] // bs
+
+    # Both loops are unrolled at trace time with STATIC slices: a
+    # lax.fori_loop with pl.ds dynamic slices compiles but defeats
+    # Mosaic's scheduling (measured 385 it/s vs 527+ unrolled at
+    # 8192x8192 r128, bm=64 bs=1024).
+    numer = jnp.zeros((bm, k), jnp.float32)
+    obj = jnp.float32(0.0)
+    for j in range(nj):
+        xs = x_ref[:, j * bs:(j + 1) * bs].astype(jnp.float32)
+        hs = h_ref[:, j * bs:(j + 1) * bs]            # (k, bs)
+        wh = jnp.dot(w, hs, preferred_element_type=jnp.float32)
+        r = xs / (wh + _EPS)
+        numer = numer + jax.lax.dot_general(
+            r, hs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        val = xs * jnp.log(xs / wh)
+        val = jnp.where(val == jnp.inf, 0.0, val)
+        val = jnp.where(jnp.isnan(val), 0.0, val)
+        obj = obj + jnp.sum(val - xs + wh)
+    obj_ref[0, 0] += obj
+
+    a = w * numer
+    lw = lw_ref[0, 0]
+    b = hsum_ref[:]                                   # (1, k)
+    w_new = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lw * a))
+    w_out_ref[:] = w_new
+
+    for j in range(nj):
+        xs = x_ref[:, j * bs:(j + 1) * bs].astype(jnp.float32)
+        hs = h_ref[:, j * bs:(j + 1) * bs]
+        wh2 = jnp.dot(w_new, hs, preferred_element_type=jnp.float32)
+        r2 = xs / (wh2 + _EPS)
+        # w_new^T @ r2 without materializing the transpose
+        wtr_ref[:, j * bs:(j + 1) * bs] += jax.lax.dot_general(
+            w_new, r2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def mur_iteration_kl(x, w, h, *, lam_w: float, bm: int, bs: int | None = None,
                      interpret: bool = False):
     """Whole KL-MUR W-half + H-numerator + lagged objective in ONE pass.
 
     Returns (w_new, wtr, obj_lagged) where obj_lagged is KL(x, w@h) of
     the INCOMING factors; the caller finishes with the cheap H closed
     form ``2c/(d + sqrt(d^2 + 4*lam_h*c))`` (c = h*wtr, d = colsum(w)).
+    ``bs`` selects the column-subblocked kernel (see iter_kl_tileable).
     """
     m, n = x.shape
     k = w.shape[1]
     ni = m // bm
     hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
-    kern = functools.partial(_iter_kl_kernel, ni=ni)
+    if bs is not None:
+        kern = functools.partial(_iter_kl_blocked_kernel, ni=ni, bs=bs)
+    else:
+        kern = functools.partial(_iter_kl_kernel, ni=ni)
     cost = pl.CostEstimate(
         flops=8 * m * n * k,
         bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,

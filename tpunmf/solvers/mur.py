@@ -116,7 +116,8 @@ def _mur_block(
         w, h = inner
         with jax.named_scope("mur_kl_iteration"):
             w, wtr, obj_prev = mur_iteration_kl(x, w, h, lam_w=lambda_w,
-                                                bm=kl_single_bm)
+                                                bm=kl_single_bm[0],
+                                                bs=kl_single_bm[1])
         c = h * wtr
         d = jnp.sum(w, axis=0)[:, None]
         h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
