@@ -87,6 +87,37 @@ def test_mur_lambda_grid_matches_sequential(lowrank_data):
             np.asarray(objs[b]), np.asarray(ref.obj_history)[1:], rtol=1e-9)
 
 
+def test_mur_lambda_grid_mesh_sharded(lowrank_data):
+    """Sharding the grid's batch axis across a mesh matches the local run."""
+    import numpy as np
+
+    from tpunmf.experiments import mur_lambda_grid
+    from tpunmf.parallel import build_mesh
+
+    import jax
+
+    mesh = build_mesh(shape=(4,), axis_names=("grid",),
+                      devices=jax.devices()[:4])
+    lws, lhs = (0.0, 0.1), (0.0, 0.05)
+    rng = np.random.default_rng(1)
+    w0 = rng.random((lowrank_data.shape[0], 4)) + 0.1
+    h0 = rng.random((4, lowrank_data.shape[1])) + 0.1
+    combos, ws, hs, objs = mur_lambda_grid(
+        lowrank_data, 4, lambda_w=lws, lambda_h=lhs, n_iter=12,
+        w_init=w0, h_init=h0, mesh=mesh, grid_axis="grid")
+    combos2, ws2, hs2, objs2 = mur_lambda_grid(
+        lowrank_data, 4, lambda_w=lws, lambda_h=lhs, n_iter=12,
+        w_init=w0, h_init=h0)
+    assert combos == combos2
+    np.testing.assert_allclose(np.asarray(objs), np.asarray(objs2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ws), np.asarray(ws2), rtol=1e-6)
+    import pytest
+
+    with pytest.raises(ValueError):
+        mur_lambda_grid(lowrank_data, 4, lambda_w=(0.0, 0.1, 0.2),
+                        n_iter=2, mesh=mesh, grid_axis="grid")
+
+
 def test_mur_lambda_grid_kl(lowrank_data):
     import numpy as np
 

@@ -62,6 +62,8 @@ def mur_lambda_grid(
     w_init=None,
     h_init=None,
     key=None,
+    mesh=None,
+    grid_axis: str | None = None,
 ):
     """Vectorized (vmapped) MUR over the full (lambda_w x lambda_h) grid.
 
@@ -71,6 +73,13 @@ def mur_lambda_grid(
     combination.  All runs share the init and execute exactly ``n_iter``
     iterations (no per-combination early stopping — pick winners from the
     returned objective trajectories).
+
+    With ``mesh`` (and ``grid_axis`` naming one of its axes), the batch
+    of combinations is additionally SHARDED across the mesh slices along
+    that axis — each device slice runs its share of the grid
+    concurrently, with X and the shared init replicated (embarrassingly
+    parallel; no collectives needed).  The combination count must divide
+    by the axis size; pad ``lambda_w``/``lambda_h`` if needed.
 
     Returns ``(combos, ws, hs, obj_hist)`` where combos is the list of
     (lambda_w, lambda_h) pairs in row-major grid order, ws is
@@ -130,7 +139,32 @@ def mur_lambda_grid(
         (w, h), objs = jax.lax.scan(step, (w0, h0), None, length=n_iter)
         return w, h, objs
 
-    ws, hs, objs = jax.jit(jax.vmap(one))(lws, lhs)
+    fn = jax.vmap(one)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if grid_axis is None:
+            grid_axis = mesh.axis_names[0]
+        axis_size = mesh.shape[grid_axis]
+        if len(combos) % axis_size:
+            raise ValueError(
+                f"{len(combos)} grid combinations do not divide across "
+                f"mesh axis {grid_axis!r} of size {axis_size}"
+            )
+        batch_sh = NamedSharding(mesh, P(grid_axis))
+        lws = jax.device_put(lws, batch_sh)
+        lhs = jax.device_put(lhs, batch_sh)
+        fn = jax.jit(
+            fn,
+            out_shardings=(
+                NamedSharding(mesh, P(grid_axis, None, None)),
+                NamedSharding(mesh, P(grid_axis, None, None)),
+                NamedSharding(mesh, P(grid_axis, None)),
+            ),
+        )
+    else:
+        fn = jax.jit(fn)
+    ws, hs, objs = fn(lws, lhs)
     return combos, ws, hs, objs
 
 
