@@ -162,6 +162,66 @@ def test_ring_rotate_h_matches_dense(rng):
 
 
 @needs_8_devices
+@pytest.mark.parametrize("schedule", ["ulysses", "rank"])
+def test_mur_sharded_solver_matches_gspmd_mur(rng, schedule):
+    """The full convergence-driven driver (Results, obj_history, early
+    stop) reproduces solvers.mur on the same init and tolerances."""
+    from tpunmf.parallel import mur_sharded
+    from tpunmf.solvers import mur
+
+    axis = "rank" if schedule == "rank" else "cols"
+    mesh = build_mesh(shape=(8,), axis_names=(axis,))
+    m, n, k = 64, 96, 8
+    x = rng.random((m, n)) + 0.05
+    w0 = rng.random((m, k))
+    h0 = rng.random((k, n))
+    kw = dict(distance_type="eu", min_iter=5, max_iter=200, tol1=1e-12,
+              tol2=1e-6, w_init=w0, h_init=h0)
+    res_s = mur_sharded(x, k, mesh, schedule=schedule, **kw)
+    res_ref = mur(x, k, **kw)
+    assert res_s.i == res_ref.i  # identical early-stop iteration
+    np.testing.assert_allclose(
+        np.asarray(res_s.obj_history), np.asarray(res_ref.obj_history),
+        rtol=1e-8)
+    np.testing.assert_allclose(res_s.w, res_ref.w, rtol=1e-6)
+    np.testing.assert_allclose(res_s.h, res_ref.h, rtol=1e-6)
+    assert res_s.experiment.method == "mur"
+
+
+@needs_8_devices
+def test_mur_sharded_kl_and_elevation(rng):
+    """KL schedule run + negative-data elevation (nmf/mur.py:99-102)."""
+    from tpunmf.parallel import mur_sharded
+    from tpunmf.solvers import mur
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    x = rng.random((32, 48)) - 0.2  # negative entries -> elevation path
+    kw = dict(distance_type="kl", min_iter=3, max_iter=30, tol1=0.0,
+              tol2=0.0, key=jax.random.PRNGKey(3))
+    res_s = mur_sharded(x, 4, mesh, schedule="ulysses", **kw)
+    res_ref = mur(x, 4, **kw)
+    np.testing.assert_allclose(
+        np.asarray(res_s.obj_history), np.asarray(res_ref.obj_history),
+        rtol=1e-6)
+
+
+@needs_8_devices
+def test_mur_sharded_via_facade(rng):
+    from tpunmf import NMF
+
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    x = rng.random((32, 48))
+    model = NMF(x, 4, mesh=mesh)
+    res = model.factorize(method="mur", schedule="ulysses",
+                          distance_type="eu", min_iter=2, max_iter=20,
+                          tol1=0.0, tol2=0.0)
+    assert model.w.shape == (32, 4) and model.h.shape == (4, 48)
+    assert len(res.obj_history) == 21
+    with pytest.raises(ValueError):
+        NMF(x, 4).factorize(method="mur", schedule="ulysses", max_iter=2)
+
+
+@needs_8_devices
 def test_mur_ulysses_kl_matches_single_device(rng):
     mesh = build_mesh(shape=(8,), axis_names=("cols",))
     m, n, k = 64, 96, 8

@@ -78,7 +78,17 @@ class NMF:
         """
         params = {**self.method_params, **method_params}
 
-        if method == "mur":
+        if method == "mur" and "schedule" in params:
+            # explicit-collective layouts (all_to_all flips / rank sharding)
+            from .parallel import mur_sharded as _mur_sharded
+
+            mesh = params.pop("mesh", self.mesh)
+            if mesh is None:
+                raise ValueError(
+                    "schedule= requires a mesh (NMF(..., mesh=...) or "
+                    "factorize(..., mesh=...))")
+            self.results = _mur_sharded(self.data, self.factors, mesh, **params)
+        elif method == "mur":
             from .solvers import mur as _mur
 
             self.results = _mur(self.data, self.factors, **params)

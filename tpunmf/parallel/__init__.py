@@ -11,7 +11,7 @@ from .collectives import (
     xht_psum,
 )
 from .mesh import build_mesh, nmf_shardings, rank_shardings, shard_problem
-from .sharded_solvers import mur_rank_sharded, mur_ulysses
+from .sharded_solvers import mur_rank_sharded, mur_sharded, mur_ulysses
 from .multihost import (
     assemble_global_columns,
     assert_collective_consistency,
@@ -34,6 +34,7 @@ __all__ = [
     "reshard_cols_to_rows",
     "mur_ulysses",
     "mur_rank_sharded",
+    "mur_sharded",
     "wh_psum_rank",
     "gram_h_rank",
     "rank_shardings",
