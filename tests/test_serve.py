@@ -105,3 +105,62 @@ def test_approximate_retrieval(rng):
     v1, i1 = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
                             recall_target=0.9)
     assert np.asarray(i1).shape == (b, k)
+
+
+def test_topk_streaming_matches_dense(rng):
+    """Panel-streamed retrieval (beyond-HBM H) equals the dense oracle,
+    including a ragged last panel."""
+    from tpunmf.serve import topk_streaming
+
+    b, r, n, k = 5, 8, 230, 7  # 230 = 3*64 + 38 ragged tail at panel 64
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    vals, idx = topk_streaming(w, h, n, k, panel_cols=64)
+    scores = w @ h
+    expect_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1),
+                                  np.sort(expect_idx, axis=1))
+    np.testing.assert_allclose(
+        np.sort(np.asarray(vals), axis=1)[:, ::-1],
+        np.take_along_axis(scores, expect_idx, axis=1), rtol=1e-6)
+
+
+def test_topk_streaming_exclusion_and_callable(rng):
+    from tpunmf.serve import topk_streaming
+
+    b, r, n, k = 4, 6, 100, 5
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    exclude = np.zeros((b, n), dtype=bool)
+    exclude[:, :50] = True  # first half of the catalog is excluded
+    vals, idx = topk_streaming(w, lambda s, e: h[:, s:e], n, k,
+                               panel_cols=33, exclude=exclude)
+    assert np.all(np.asarray(idx) >= 50)
+    scores = np.where(exclude, -np.inf, w @ h)
+    expect_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1),
+                                  np.sort(expect_idx, axis=1))
+
+
+def test_topk_streaming_sharded(rng):
+    """Streamed panels scored through the sharded two-stage kernel."""
+    from tpunmf.serve import topk_streaming
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    b, r, n, k = 4, 6, 200, 6  # panels of 48 pad to /8; tail 8 cols
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    vals, idx = topk_streaming(w, h, n, k, panel_cols=48, mesh=mesh)
+    scores = w @ h
+    expect_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(np.asarray(idx), axis=1),
+                                  np.sort(expect_idx, axis=1))
+
+
+def test_topk_streaming_validation(rng):
+    from tpunmf.serve import topk_streaming
+
+    with pytest.raises(ValueError):
+        topk_streaming(rng.random((2, 4)), rng.random((4, 10)), 10, 11)

@@ -1,3 +1,4 @@
-from .topk import recall_at_k, topk_retrieval, topk_scores_dense
+from .topk import recall_at_k, topk_retrieval, topk_scores_dense, topk_streaming
 
-__all__ = ["topk_retrieval", "topk_scores_dense", "recall_at_k"]
+__all__ = ["topk_retrieval", "topk_scores_dense", "topk_streaming",
+           "recall_at_k"]

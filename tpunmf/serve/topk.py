@@ -134,6 +134,86 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
     return fn(w_batch, h, exclude)
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
+    """Merge two (b, >=k) candidate sets into the global top-k."""
+    vals = jnp.concatenate([vals_a, vals_b], axis=1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=1)
+    out_vals, pos = jax.lax.top_k(vals, k)
+    return out_vals, jnp.take_along_axis(idx, pos, axis=1)
+
+
+def topk_streaming(w_batch, h_source, n: int, k: int, *,
+                   panel_cols: int = 65536, mesh: Mesh | None = None,
+                   exclude=None, recall_target: float = 1.0):
+    """Top-k retrieval when H exceeds (aggregate) device memory.
+
+    The item factors arrive from the host in column panels —
+    ``h_source[:, start:stop]`` (numpy array / memmap) or a callable
+    ``(start, stop) -> (r, stop-start)`` — are scored on device panel by
+    panel (through the same exact/approximate two-stage kernel as
+    :func:`topk_retrieval` when a mesh is given), and a running (b, k)
+    candidate set is merged on device after each panel.  Peak device
+    memory is one panel plus the candidates, so the item count is
+    bounded by host storage, not HBM — the serving analog of the
+    out-of-core streaming solver (solvers/streaming.py).
+
+    Args:
+      w_batch: (b, r) user factor rows.
+      h_source: sliceable or callable source of H column panels.
+      n: total item count.
+      k: items to return per user.
+      panel_cols: columns per streamed panel (the last panel may be short).
+      mesh: optional mesh with a 'cols' axis for sharded panel scoring.
+      exclude: optional (b, n) bool host array of items to exclude.
+      recall_target: forwarded to the per-panel ranking (see
+        :func:`topk_retrieval`).
+
+    Returns: (values (b, k), indices (b, k)) global item indices.
+    """
+    import numpy as np
+
+    if k > n:
+        raise ValueError(f"k={k} exceeds the item count n={n}")
+    take = min(panel_cols, n)
+    slicer = h_source if callable(h_source) else (
+        lambda s, e: h_source[:, s:e])
+
+    b = w_batch.shape[0]
+    vals = jnp.full((b, k), -jnp.inf, dtype=jnp.float32)
+    idx = jnp.full((b, k), -1, dtype=jnp.int32)
+    n_shards = mesh.shape["cols"] if (
+        mesh is not None and "cols" in mesh.axis_names) else 1
+
+    for start in range(0, n, take):
+        stop = min(start + take, n)
+        panel = np.asarray(slicer(start, stop))
+        width = stop - start
+        pad = (-width) % max(n_shards, 1)
+        excl_panel = None
+        if exclude is not None:
+            excl_panel = np.asarray(exclude[:, start:stop])
+        if pad:
+            # ragged tail: pad columns are masked out via the exclusion
+            # path so they can never enter the candidate set
+            panel = np.pad(panel, ((0, 0), (0, pad)))
+            full = np.zeros((b, width + pad), dtype=bool)
+            full[:, width:] = True
+            if excl_panel is not None:
+                full[:, :width] = excl_panel
+            excl_panel = full
+        kk = min(k, panel.shape[1])
+        p_vals, p_idx = topk_retrieval(
+            mesh, w_batch, jnp.asarray(panel), kk,
+            exclude=None if excl_panel is None else jnp.asarray(excl_panel),
+            recall_target=recall_target)
+        vals, idx = _merge_topk(
+            vals, idx,
+            p_vals.astype(jnp.float32),
+            (p_idx + start).astype(jnp.int32), k)
+    return vals, idx
+
+
 def recall_at_k(pred_idx, true_idx) -> float:
     """Mean recall@k between predicted and ground-truth index sets.
 
