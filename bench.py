@@ -23,9 +23,10 @@ algorithmically required traffic (X read once, W and H read+written,
 WtX written+read); implementation-side temporaries are excluded
 (also conservative).
 
-``extra.solver_rates`` records warm iterations/sec for MUR-KL, ANLS,
-ADMM and AO-ADMM on a 2048x1024 rank-64 problem — the machine-readable
-all-solver record BASELINE's "NMF iterations/sec" metric asks for.
+``extra.solver_rates`` records warm iterations/sec for MUR-KL, HALS,
+ANLS, ADMM and AO-ADMM on a 2048x1024 rank-64 problem — the
+machine-readable all-solver record BASELINE's "NMF iterations/sec"
+metric asks for.
 
 Timing note: results are fetched to host inside the timed region —
 `block_until_ready` alone can return before remote-tunnel execution
@@ -197,7 +198,7 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
     the ~0.5 s/op eager dispatch round-trips through the axon tunnel)
     that would otherwise dominate at small iteration counts.
     """
-    from tpunmf.solvers import admm, anls, ao_admm, mur
+    from tpunmf.solvers import admm, anls, ao_admm, hals, mur
 
     key = jax.random.PRNGKey(1)
     kx, kw, kh = jax.random.split(key, 3)
@@ -229,6 +230,7 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
 
     out = {}
     out["mur_kl"] = rate(mur, 4000, distance_type="kl")
+    out["hals"] = rate(hals, 2000)
     out["anls"] = rate(anls, 100)
     out["anls_fast"] = rate(
         anls, 400, nnls_opts=dict(max_outer=16, opt_tol_ulps=1000.0))

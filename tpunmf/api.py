@@ -25,7 +25,7 @@ from .core.types import Results
 from .io.npz import load_results, save_results
 
 
-_METHODS = ("mur", "anls", "admm", "ao_admm")
+_METHODS = ("mur", "anls", "admm", "ao_admm", "hals")
 
 
 class NMF:
@@ -104,8 +104,13 @@ class NMF:
             from .solvers import ao_admm as _ao_admm
 
             self.results = _ao_admm(self.data, self.factors, **params)
+        elif method == "hals":
+            # beyond-reference: accelerated hierarchical ALS (EU objective)
+            from .solvers import hals as _hals
+
+            self.results = _hals(self.data, self.factors, **params)
         else:
-            raise Exception("Method not known. Choose one from: mur anls admm ao_admm")
+            raise Exception("Method not known. Choose one from: mur anls admm ao_admm hals")
 
         print("Factorization done.")
         if saving:

@@ -1,6 +1,7 @@
 from .admm import admm
 from .anls import anls
 from .ao_admm import ao_admm
+from .hals import hals
 from .mur import mur
 from .streaming import mur_streaming
 from .streaming_sharded import mur_streaming_sharded
@@ -10,6 +11,7 @@ __all__ = [
     "anls",
     "admm",
     "ao_admm",
+    "hals",
     "mur_streaming",
     "mur_streaming_sharded",
 ]
