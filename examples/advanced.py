@@ -58,3 +58,22 @@ res = mur_streaming_sharded(sp.csr_matrix(dense), k, mesh, row_block=32,
                             min_iter=5, max_iter=30)
 print(f"streaming sharded: obj {res.obj_history[0]:.1f} -> "
       f"{res.obj_history[-1]:.1f}  (i = {res.i})")
+
+# 5. Full solver semantics (convergence, Results) over an explicit
+#    schedule, and HALS — the fast beyond-reference EU solver
+from tpunmf.parallel import mur_sharded
+from tpunmf.solvers import hals
+
+res = mur_sharded(x, k, mesh, schedule="ulysses", distance_type="eu",
+                  min_iter=5, max_iter=200, tol1=1e-8, tol2=1e-8)
+print(f"mur_sharded:      obj = {res.obj_history[-1]:.4f}  (i = {res.i})")
+res = hals(x, k, min_iter=5, max_iter=200, tol1=1e-8, tol2=1e-8)
+print(f"hals:             obj = {res.obj_history[-1]:.4f}  (i = {res.i})")
+
+# 6. Serving beyond HBM: H streamed in column panels from the host,
+#    running top-k merged on device
+from tpunmf.serve import topk_streaming
+
+vals, ids = topk_streaming(res.w[:3], res.h, n, k=5, panel_cols=40,
+                           mesh=mesh)
+print(f"topk_streaming:   top items/user = {np.asarray(ids).tolist()}")
