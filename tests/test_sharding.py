@@ -141,3 +141,21 @@ def test_sharded_solvers_match_single_device(lowrank_data, solver_name):
         np.array(sharded.obj_history), np.array(single.obj_history), rtol=1e-8
     )
     np.testing.assert_allclose(sharded.w, single.w, rtol=1e-7, atol=1e-10)
+
+
+@needs_8_devices
+def test_sharded_hals_matches_single_device(lowrank_data):
+    """GSPMD HALS: the column-sweep fori_loop partitions like any other
+    jitted body; sharded inputs must reproduce the single-device run."""
+    from tpunmf.solvers import hals
+
+    kw = dict(min_iter=3, max_iter=25, tol1=1e-12, tol2=1e-12,
+              nndsvd_init=(True, "zero"), inner_sweeps=2)
+    single = hals(lowrank_data, 5, **kw)
+    mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+    xs = jax.device_put(jnp.asarray(lowrank_data), nmf_shardings(mesh)["v"])
+    sharded = hals(xs, 5, **kw)
+    assert sharded.i == single.i
+    np.testing.assert_allclose(
+        np.array(sharded.obj_history), np.array(single.obj_history), rtol=1e-9)
+    np.testing.assert_allclose(sharded.w, single.w, rtol=1e-7)

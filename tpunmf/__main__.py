@@ -15,7 +15,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("data", help="input matrix (.npy/.npz/.mat/.csv)")
     p.add_argument("-k", "--factors", type=int, required=True)
     p.add_argument("-m", "--method", default="mur",
-                   choices=["mur", "anls", "admm", "ao_admm"])
+                   choices=["mur", "anls", "admm", "ao_admm", "hals"])
     p.add_argument("--distance-type", default=None, choices=["eu", "kl"])
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--min-iter", type=int, default=None)
