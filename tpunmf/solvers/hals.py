@@ -152,19 +152,22 @@ def hals(
     if w_init is not None:
         w = jnp.asarray(w_init, dtype=x.dtype)
         h = jnp.asarray(h_init, dtype=x.dtype)
-    elif nndsvd_init[0]:
-        w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
     else:
-        w, h = random_init(
-            key if key is not None else jax.random.PRNGKey(0),
-            x.shape[0], x.shape[1], k, kind="abs_normal", dtype=x.dtype,
-        )
-    # HALS divides by Gram diagonals: an exactly-zero H row (NNDSVD 'zero'
-    # fill) would freeze its component forever; nudge to a tiny positive
-    w = jnp.maximum(w, _EPS)
-    h = jnp.maximum(h, _EPS)
+        if nndsvd_init[0]:
+            w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
+        else:
+            w, h = random_init(
+                key if key is not None else jax.random.PRNGKey(0),
+                x.shape[0], x.shape[1], k, kind="abs_normal", dtype=x.dtype,
+            )
+        # HALS divides by Gram diagonals: an all-zero H row (NNDSVD 'zero'
+        # fill) would freeze its component forever; nudge generated inits
+        # to a tiny positive (explicit w_init/h_init are left untouched)
+        w = jnp.maximum(w, _EPS)
+        h = jnp.maximum(h, _EPS)
 
-    xsq = jnp.sum(x.astype(jnp.float32) * x.astype(jnp.float32)).astype(x.dtype)
+    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    xsq = jnp.sum(xf * xf)
     obj0 = eu_residual_obj(x, w, h, use_pallas=False)
     carry = init_carry(obj0, max_iter, (w, h))
 
