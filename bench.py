@@ -230,6 +230,7 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
 
     out = {}
     out["mur_kl"] = rate(mur, 4000, distance_type="kl")
+    out["mur_eu"] = rate(mur, 4000, distance_type="eu")
     out["hals"] = rate(hals, 2000)
     out["anls"] = rate(anls, 100)
     out["anls_fast"] = rate(

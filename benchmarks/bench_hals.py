@@ -40,32 +40,33 @@ X = Wt @ Ht + 0.1 * jax.random.uniform(kx, (M, N), dtype=jnp.float32)
 W0 = np.asarray(jax.random.uniform(jax.random.PRNGKey(7), (M, K)))
 H0 = np.asarray(jax.random.uniform(jax.random.PRNGKey(8), (K, N)))
 
-out = {}
-for name, fn, kw in (("mur_eu", mur, dict(distance_type="eu")),
-                     ("hals_s1", hals, dict(inner_sweeps=1)),
-                     ("hals_s2", hals, dict(inner_sweeps=2)),
-                     ("hals_s4", hals, dict(inner_sweeps=4))):
-    run(fn, 3, **kw)                       # compile (short count)
-    run(fn, ITERS, **kw)                   # compile (long count)
-    res, dt = run(fn, ITERS, **kw)         # measured
-    obj = np.asarray(res.obj_history, dtype=np.float64)
-    out[name] = {"s_total": round(dt, 3), "it_per_s": round(ITERS / dt, 1),
-                 "obj": obj}
-    print(name, out[name]["s_total"], "s,", out[name]["it_per_s"], "it/s,",
-          "final obj", f"{obj[-1]:.6e}", flush=True)
+try:
+    from tpunmf.utils import enable_compilation_cache
 
-# time for each solver to first reach the WORST final objective among them
-target = max(v["obj"][-1] for v in out.values()) * (1 + 1e-9)
-summary = {}
-for name, v in out.items():
-    hit = np.argmax(v["obj"] <= target)
-    reached = bool(v["obj"][hit] <= target)
-    t_hit = hit / v["it_per_s"] if reached else float("inf")
-    summary[name] = {
-        "it_per_s": v["it_per_s"],
-        "final_obj": float(v["obj"][-1]),
-        "iters_to_target": int(hit) if reached else None,
-        "s_to_target": round(t_hit, 3) if reached else None,
-    }
-print(json.dumps({"shape": [M, N, K], "iters": ITERS,
-                  "target_obj": float(target), "solvers": summary}, indent=1))
+    enable_compilation_cache()
+except Exception:
+    pass
+
+CONFIGS = {
+    "mur_eu": (mur, dict(distance_type="eu")),
+    "hals_s1": (hals, dict(inner_sweeps=1)),
+    "hals_s2": (hals, dict(inner_sweeps=2)),
+}
+
+# One config per process (argv[1]), results appended to argv[2] as JSONL:
+# a single process needs 2+ tunnel compiles (~2-5 min each on a bad hour)
+# and a timeout SIGTERM mid-compile wedges the remote worker for ~20 min
+# — run each config in its own bounded invocation instead.
+name = sys.argv[1]
+out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_hals.jsonl"
+fn, kw = CONFIGS[name]
+run(fn, ITERS, **kw)                   # compile + warm
+res, dt = run(fn, ITERS, **kw)         # measured
+obj = np.asarray(res.obj_history, dtype=np.float64)
+rec = {"name": name, "s_total": round(dt, 3),
+       "it_per_s": round(ITERS / dt, 1), "shape": [M, N, K],
+       "obj": [float(v) for v in obj]}
+with open(out_path, "a") as f:
+    f.write(json.dumps(rec) + "\n")
+print(name, rec["s_total"], "s,", rec["it_per_s"], "it/s, final obj",
+      f"{obj[-1]:.6e}", flush=True)

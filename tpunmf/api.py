@@ -88,9 +88,16 @@ class NMF:
                     "schedule= requires a mesh (NMF(..., mesh=...) or "
                     "factorize(..., mesh=...))")
             self.results = _mur_sharded(self.data, self.factors, mesh, **params)
+        elif method == "mur" and params.get("mask") is not None:
+            # masked/weighted factorization: fit observed cells only
+            from .solvers import mur_masked as _mur_masked
+
+            mask = params.pop("mask")
+            self.results = _mur_masked(self.data, mask, self.factors, **params)
         elif method == "mur":
             from .solvers import mur as _mur
 
+            params.pop("mask", None)
             self.results = _mur(self.data, self.factors, **params)
         elif method == "anls":
             from .solvers import anls as _anls

@@ -2,6 +2,7 @@ from .admm import admm
 from .anls import anls
 from .ao_admm import ao_admm
 from .hals import hals
+from .masked import mur_masked
 from .mur import mur
 from .streaming import mur_streaming
 from .streaming_sharded import mur_streaming_sharded
@@ -12,6 +13,7 @@ __all__ = [
     "admm",
     "ao_admm",
     "hals",
+    "mur_masked",
     "mur_streaming",
     "mur_streaming_sharded",
 ]
