@@ -113,3 +113,26 @@ def test_masked_via_facade(masked_problem):
                           min_iter=3, max_iter=20, tol1=0.0, tol2=0.0)
     assert model.w.shape == (x.shape[0], 4)
     assert len(res.obj_history) == 21
+
+
+def test_masked_sharded_matches_single_device(masked_problem):
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    if jax.device_count() < 8:
+        _pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh, nmf_shardings
+
+    x, mask, w0, h0 = masked_problem
+    kw = dict(distance_type="eu", w_init=w0, h_init=h0, min_iter=3,
+              max_iter=20, tol1=0.0, tol2=0.0)
+    single = mur_masked(x, mask, 4, **kw)
+    mesh = build_mesh(shape=(2, 4), axis_names=("rows", "cols"))
+    sh = nmf_shardings(mesh)["v"]
+    sharded = mur_masked(jax.device_put(jnp.asarray(x), sh),
+                         jax.device_put(jnp.asarray(mask), sh), 4, **kw)
+    np.testing.assert_allclose(sharded.w, single.w, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(sharded.obj_history), np.asarray(single.obj_history),
+        rtol=1e-9)

@@ -44,8 +44,12 @@ from .common import LoopCarry, finalize_history, init_carry, run_loop, while_blo
 _EPS = 1e-16
 
 
-def _hals_sweep_w(w, xht, hht, lam):
-    """One HALS sweep over W's columns (rank-1 closed forms)."""
+def _hals_sweep_w(w, xht, hht, lam, unroll=1):
+    """One HALS sweep over W's columns (rank-1 closed forms).
+
+    The sweep is a Gauss-Seidel chain of k dependent small matvecs, so
+    at large m it is LATENCY-bound, not FLOP-bound; ``unroll`` trades
+    compile time for fewer loop-step dispatches."""
     k = w.shape[1]
 
     def col(l, w):
@@ -55,10 +59,10 @@ def _hals_sweep_w(w, xht, hht, lam):
         numer = xht[:, l] - w @ hht[:, l] + w[:, l] * hht[l, l]
         return w.at[:, l].set(jnp.maximum(numer / denom, 0.0))
 
-    return jax.lax.fori_loop(0, k, col, w)
+    return jax.lax.fori_loop(0, k, col, w, unroll=unroll)
 
 
-def _hals_sweep_h(h, wtx, wtw, lam):
+def _hals_sweep_h(h, wtx, wtw, lam, unroll=1):
     """One HALS sweep over H's rows."""
     k = h.shape[0]
 
@@ -67,30 +71,32 @@ def _hals_sweep_h(h, wtx, wtw, lam):
         numer = wtx[l, :] - wtw[l, :] @ h + wtw[l, l] * h[l, :]
         return h.at[l, :].set(jnp.maximum(numer / denom, 0.0))
 
-    return jax.lax.fori_loop(0, k, row, h)
+    return jax.lax.fori_loop(0, k, row, h, unroll=unroll)
 
 
 @partial(
     jax.jit,
     static_argnames=("min_iter", "max_iter", "inner_sweeps", "objective",
-                     "verbose"),
+                     "verbose", "sweep_unroll"),
 )
 def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
                 lambda_h, *, min_iter: int, max_iter: int, inner_sweeps: int,
-                objective: str, verbose: bool):
+                objective: str, verbose: bool, sweep_unroll: int = 1):
     def step(inner, i):
         w, h = inner
         # --- W half: one m*n*k GEMM + k x k Gram, then cheap sweeps
         xht = x @ h.T
         hht = h @ h.T
         w = jax.lax.fori_loop(
-            0, inner_sweeps, lambda t, w: _hals_sweep_w(w, xht, hht, lambda_w), w
+            0, inner_sweeps,
+            lambda t, w: _hals_sweep_w(w, xht, hht, lambda_w, sweep_unroll), w
         )
         # --- H half (mirror)
         wtx = w.T @ x
         wtw = w.T @ w
         h = jax.lax.fori_loop(
-            0, inner_sweeps, lambda t, h: _hals_sweep_h(h, wtx, wtw, lambda_h), h
+            0, inner_sweeps,
+            lambda t, h: _hals_sweep_h(h, wtx, wtw, lambda_h, sweep_unroll), h
         )
         if objective == "gram":
             obj = eu_objective_gram(xsq, wtx, wtw, h)
@@ -115,6 +121,7 @@ def hals(
     lambda_h: float = 0.0,
     nndsvd_init=(True, "zero"),
     inner_sweeps: int = 2,
+    sweep_unroll: int = 8,
     w_init=None,
     h_init=None,
     key=None,
@@ -174,6 +181,7 @@ def hals(
     run = lambda c, stop: _hals_block(
         x, xsq, c, stop, tol1, tol2, lambda_w, lambda_h, min_iter=min_iter,
         max_iter=max_iter, inner_sweeps=inner_sweeps, objective=objective,
+        sweep_unroll=sweep_unroll,
         verbose=verbose,
     )
     carry = run_loop(
