@@ -136,3 +136,11 @@ def test_masked_sharded_matches_single_device(masked_problem):
     np.testing.assert_allclose(
         np.asarray(sharded.obj_history), np.asarray(single.obj_history),
         rtol=1e-9)
+
+
+def test_mask_with_schedule_raises(masked_problem):
+    from tpunmf import NMF
+
+    x, mask, _, _ = masked_problem
+    with pytest.raises(ValueError):
+        NMF(x, 4).factorize(method="mur", schedule="ulysses", mask=mask)

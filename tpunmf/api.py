@@ -82,6 +82,10 @@ class NMF:
             # explicit-collective layouts (all_to_all flips / rank sharding)
             from .parallel import mur_sharded as _mur_sharded
 
+            if params.get("mask") is not None:
+                raise ValueError(
+                    "mask= is not supported with schedule=; use the GSPMD "
+                    "masked path (factorize(method='mur', mask=...))")
             mesh = params.pop("mesh", self.mesh)
             if mesh is None:
                 raise ValueError(
