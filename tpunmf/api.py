@@ -128,6 +128,29 @@ class NMF:
             self.save_factorization()
         return self.results
 
+    def transform(self, data, **opts):
+        """Encode new data against the trained basis W (k x n_new).
+
+        EU: exact batched NNLS; KL: fixed-W MUR iterations.  Defaults to
+        the distance the model was trained with.  (Inference step — not
+        present in the reference.)
+        """
+        if self.results is None:
+            raise RuntimeError("Nothing trained: call factorize() first.")
+        from .solvers import transform as _transform
+
+        opts.setdefault("distance_type",
+                        getattr(self.results.experiment, "distance_type", "eu"))
+        return _transform(self.results.w, data, **opts)
+
+    def inverse_transform(self, h):
+        """Reconstruct data from coefficients: W @ h."""
+        if self.results is None:
+            raise RuntimeError("Nothing trained: call factorize() first.")
+        from .solvers import inverse_transform as _inv
+
+        return _inv(self.results.w, h)
+
     def default_save_name(self) -> str:
         """Parameter-encoded save name, grammar-identical to nmf/nmf.py:95-126."""
         exp = self.results.experiment

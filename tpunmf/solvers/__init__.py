@@ -5,6 +5,7 @@ from .hals import hals
 from .masked import mur_masked
 from .mur import mur
 from .streaming import mur_streaming
+from .transform import inverse_transform, transform
 from .streaming_sharded import mur_streaming_sharded
 
 __all__ = [
@@ -15,5 +16,7 @@ __all__ = [
     "hals",
     "mur_masked",
     "mur_streaming",
+    "transform",
+    "inverse_transform",
     "mur_streaming_sharded",
 ]
