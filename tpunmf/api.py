@@ -92,6 +92,13 @@ class NMF:
                     "schedule= requires a mesh (NMF(..., mesh=...) or "
                     "factorize(..., mesh=...))")
             self.results = _mur_sharded(self.data, self.factors, mesh, **params)
+        elif method == "mur" and params.get("beta") is not None:
+            # generalized beta-divergence objective (0=IS, 1=KL, 2=EU)
+            from .solvers import mur_beta as _mur_beta
+
+            if params.get("mask") is not None:
+                raise ValueError("mask= and beta= cannot be combined")
+            self.results = _mur_beta(self.data, self.factors, **params)
         elif method == "mur" and params.get("mask") is not None:
             # masked/weighted factorization: fit observed cells only
             from .solvers import mur_masked as _mur_masked

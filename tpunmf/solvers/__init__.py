@@ -1,5 +1,6 @@
 from .admm import admm
 from .anls import anls
+from .beta import beta_divergence, mur_beta
 from .ao_admm import ao_admm
 from .hals import hals
 from .masked import mur_masked
@@ -10,6 +11,8 @@ from .streaming_sharded import mur_streaming_sharded
 
 __all__ = [
     "mur",
+    "mur_beta",
+    "beta_divergence",
     "anls",
     "admm",
     "ao_admm",
