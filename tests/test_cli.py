@@ -130,3 +130,23 @@ def test_mur_lambda_grid_kl(lowrank_data):
     # objective decreases for every combination
     o = np.asarray(objs)
     assert np.all(o[:, -1] <= o[:, 0])
+
+
+def test_rank_scan_finds_true_rank(rng):
+    """Dispersion of the seed-consensus matrix peaks at the generative
+    rank of a well-separated synthetic mixture."""
+    from tpunmf.experiments import rank_scan
+
+    m, n, k_true = 60, 48, 3
+    # well-separated block structure: each column dominated by one component
+    h = np.zeros((k_true, n))
+    for j in range(n):
+        h[j % k_true, j] = 1.0
+    h += 0.02 * rng.random((k_true, n))
+    w = rng.random((m, k_true)) + 0.1
+    x = w @ h
+    res = rank_scan(x, ks=(2, 3, 5), n_seeds=6, n_iter=150)
+    by_k = {r["k"]: r["dispersion"] for r in res}
+    assert by_k[3] > 0.95                     # stable at the true rank
+    assert by_k[3] >= by_k[5] - 1e-9          # overfit rank is not better
+    assert all(0.0 <= r["dispersion"] <= 1.0 + 1e-9 for r in res)

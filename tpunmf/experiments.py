@@ -168,6 +168,86 @@ def mur_lambda_grid(
     return combos, ws, hs, objs
 
 
+def rank_scan(
+    data,
+    ks: Sequence[int],
+    *,
+    n_seeds: int = 8,
+    distance_type: str = "eu",
+    n_iter: int = 200,
+    key=None,
+):
+    """Consensus-based rank selection (Brunet et al. / Kim-Park).
+
+    For each candidate rank k, runs ``n_seeds`` random-init MUR
+    factorizations as ONE vmapped jit (seeds ride the batch axis), builds
+    the sample consensus matrix C (how often two samples' dominant
+    components coincide across seeds) and scores its stability with the
+    dispersion coefficient ``rho = mean(4 (C - 1/2)^2)`` — rho == 1 iff
+    every seed clusters the samples identically.  The elbow/maximum of
+    rho over k is the standard rank choice.
+
+    Returns a list of dicts: {k, dispersion, mean_final_obj}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .init import random_init
+    from .solvers.mur import _EPS
+
+    if distance_type not in ("eu", "kl"):
+        raise KeyError("Unknown distance type.")
+    x = jnp.asarray(data)
+    m, n = x.shape
+    base = key if key is not None else jax.random.PRNGKey(0)
+
+    def one_k(k: int):
+        def run(seed_key):
+            w, h = random_init(seed_key, m, n, k, kind="abs_normal",
+                               dtype=x.dtype)
+
+            def step_eu(c, _):
+                w, h = c
+                w = w * (x @ h.T) / (w @ (h @ h.T) + _EPS)
+                h = h * (w.T @ x) / ((w.T @ w) @ h + _EPS)
+                return (w, h), None
+
+            def step_kl(c, _):
+                w, h = c
+                r = x / (w @ h + _EPS)
+                w = w * (r @ h.T) / jnp.sum(h, axis=1)[None, :]
+                r2 = x / (w @ h + _EPS)
+                h = h * (w.T @ r2) / jnp.sum(w, axis=0)[:, None]
+                return (w, h), None
+
+            step = step_kl if distance_type == "kl" else step_eu
+            (w, h), _ = jax.lax.scan(step, (w, h), None, length=n_iter)
+            labels = jnp.argmax(h, axis=0)                    # (n,)
+            conn = (labels[:, None] == labels[None, :])       # (n, n)
+            if distance_type == "kl":
+                wh = w @ h
+                val = x * jnp.log(x / wh)
+                val = jnp.where(val == jnp.inf, 0.0, val)
+                val = jnp.where(jnp.isnan(val), 0.0, val)
+                obj = jnp.sum(val - x + wh)
+            else:
+                d = x - w @ h
+                obj = 0.5 * jnp.sum(d * d)
+            return conn.astype(x.dtype), obj
+
+        keys = jax.random.split(jax.random.fold_in(base, k), n_seeds)
+        conns, objs = jax.jit(jax.vmap(run))(keys)
+        consensus = jnp.mean(conns, axis=0)
+        dispersion = jnp.mean(4.0 * (consensus - 0.5) ** 2)
+        return float(dispersion), float(jnp.mean(objs))
+
+    out = []
+    for k in ks:
+        disp, obj = one_k(int(k))
+        out.append({"k": int(k), "dispersion": disp, "mean_final_obj": obj})
+    return out
+
+
 def run_param_file(data, factors: int, param_module: str, method: str = "mur"):
     """Factorize using a parameter module exposing ``method_params``
     (the reference's param_file mechanism, nmf/nmf.py:38-45, actually
