@@ -77,3 +77,22 @@ from tpunmf.serve import topk_streaming
 vals, ids = topk_streaming(res.w[:3], res.h, n, k=5, panel_cols=40,
                            mesh=mesh)
 print(f"topk_streaming:   top items/user = {np.asarray(ids).tolist()}")
+
+# 7. Missing-data factorization, generalized objectives, inference
+from tpunmf.solvers import mur_beta, mur_masked, transform
+
+mask = (rng.random((m, n)) < 0.5).astype(np.float32)
+res = mur_masked(x, mask, k, distance_type="eu", min_iter=5, max_iter=60)
+held = mask == 0
+rmse = float(np.sqrt(np.mean(((res.w @ res.h) - x)[held] ** 2)))
+print(f"masked completion: heldout rmse = {rmse:.4f}")
+res = mur_beta(x + 0.05, k, beta=0.0, min_iter=5, max_iter=40)   # Itakura-Saito
+print(f"IS-NMF:           obj {res.obj_history[0]:.2f} -> {res.obj_history[-1]:.2f}")
+h_new = transform(res.w, x[:, :8] + 0.05, distance_type="kl")
+print(f"transform:        encoded 8 new columns -> {np.asarray(h_new).shape}")
+
+# 8. Rank selection: multi-seed consensus dispersion (vmapped seeds)
+from tpunmf.experiments import rank_scan
+
+scores = rank_scan(x, ks=(4, k, 2 * k), n_seeds=5, n_iter=80)
+print("rank_scan:        ", [(s["k"], round(s["dispersion"], 3)) for s in scores])
