@@ -187,6 +187,9 @@ def rank_scan(
     every seed clusters the samples identically.  The elbow/maximum of
     rho over k is the standard rank choice.
 
+    The consensus matrix is (n, n) per seed batch — O(n_seeds * n^2)
+    device memory; subsample columns first for very wide data.
+
     Returns a list of dicts: {k, dispersion, mean_final_obj}.
     """
     import jax
