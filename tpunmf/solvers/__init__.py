@@ -4,6 +4,7 @@ from .beta import beta_divergence, mur_beta
 from .ao_admm import ao_admm
 from .hals import hals
 from .masked import mur_masked
+from .online import OnlineNMF, online_nmf
 from .mur import mur
 from .streaming import mur_streaming
 from .transform import inverse_transform, transform
@@ -18,6 +19,8 @@ __all__ = [
     "ao_admm",
     "hals",
     "mur_masked",
+    "OnlineNMF",
+    "online_nmf",
     "mur_streaming",
     "transform",
     "inverse_transform",

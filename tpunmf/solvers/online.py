@@ -1,0 +1,124 @@
+"""Online NMF — streaming minibatch learning with sufficient statistics.
+
+Beyond-reference capability: every reference solver needs the whole
+matrix resident (nmf/mur.py etc.); this learns W from an UNBOUNDED
+stream of column minibatches in O(mk + k^2) state, after Mairal et al.'s
+online dictionary learning (JMLR 2010) specialized to NMF:
+
+per minibatch X_t (m, b):
+  1. encode   H_t = argmin_{H>=0} ||X_t - W H||^2      (batched NNLS,
+     the same kernel as ANLS/transform)
+  2. accumulate sufficient statistics with forgetting factor rho:
+         A <- rho A + H_t H_t^T          (k x k)
+         B <- rho B + X_t H_t^T          (m x k)
+  3. update W by HALS-style block coordinate descent on the surrogate
+         f_t(W) = 1/2 tr(W A W^T) - tr(W^T B):
+         w_l <- max(0, w_l + (B[:, l] - W A[:, l]) / A[l, l])
+     — exactly the batch HALS column rule with (XHt, HHt) replaced by
+     the running (B, A), so one epoch over a resident matrix with
+     rho=1 reproduces a batch HALS-flavored pass.
+
+The per-batch step is ONE jit (encode + stats + sweeps); state lives on
+device between calls.  Euclidean objective only (the NNLS encode).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def _online_step(w, a, b_stat, x_t, rho, *, sweeps: int = 2):
+    from ..nnls import nnls_activeset
+
+    k = w.shape[1]
+    gram = w.T @ w + _EPS * jnp.eye(k, dtype=w.dtype)
+    h_t = nnls_activeset(gram, w.T @ x_t)
+
+    a = rho * a + h_t @ h_t.T
+    b_stat = rho * b_stat + x_t @ h_t.T
+
+    def sweep(_, w):
+        def col(l, w):
+            denom = a[l, l] + _EPS
+            upd = w[:, l] + (b_stat[:, l] - w @ a[:, l]) / denom
+            return w.at[:, l].set(jnp.maximum(upd, 0.0))
+
+        return jax.lax.fori_loop(0, k, col, w, unroll=8)
+
+    w = jax.lax.fori_loop(0, sweeps, sweep, w)
+    # per-batch EU objective of the fresh encode (diagnostic)
+    d = x_t - w @ h_t
+    return w, a, b_stat, h_t, 0.5 * jnp.sum(d * d)
+
+
+class OnlineNMF:
+    """Streaming NMF: ``partial_fit`` minibatches of columns, read ``.w``.
+
+    Args:
+      m: row count of the data (fixed across the stream).
+      k: rank.
+      rho: forgetting factor in (0, 1] — 1.0 accumulates all history
+        (stationary streams); < 1 tracks drift.
+      sweeps: HALS sweeps over W per minibatch.
+      key: PRNG key for the random W init (|N(0,1)|).
+      w_init: explicit (m, k) initial basis.
+    """
+
+    def __init__(self, m: int, k: int, *, rho: float = 1.0,
+                 sweeps: int = 2, key=None, w_init=None,
+                 dtype=jnp.float32):
+        if not 0.0 < rho <= 1.0:
+            raise ValueError("rho must be in (0, 1]")
+        self.k = k
+        self.rho = float(rho)
+        self.sweeps = int(sweeps)
+        if w_init is not None:
+            w = jnp.asarray(w_init, dtype=dtype)
+            if w.shape != (m, k):
+                raise ValueError(f"w_init must be ({m}, {k}); got {w.shape}")
+        else:
+            w = jnp.abs(jax.random.normal(
+                key if key is not None else jax.random.PRNGKey(0),
+                (m, k), dtype=dtype))
+        self._w = w
+        self._a = jnp.zeros((k, k), dtype=dtype)
+        self._b = jnp.zeros((m, k), dtype=dtype)
+        self.n_batches = 0
+        self.obj_history: list = []
+
+    @property
+    def w(self):
+        return np.asarray(self._w)
+
+    def partial_fit(self, x_t):
+        """Consume one (m, b) column minibatch; returns its encode H_t."""
+        x_t = jnp.asarray(x_t, dtype=self._w.dtype)
+        if x_t.ndim != 2 or x_t.shape[0] != self._w.shape[0]:
+            raise ValueError(
+                f"minibatch must be ({self._w.shape[0]}, b); got {x_t.shape}")
+        self._w, self._a, self._b, h_t, obj = _online_step(
+            self._w, self._a, self._b, x_t,
+            jnp.asarray(self.rho, self._w.dtype), sweeps=self.sweeps)
+        self.n_batches += 1
+        self.obj_history.append(float(obj))
+        return h_t
+
+    def transform(self, x_new, **opts):
+        """Encode new columns against the current basis (exact NNLS)."""
+        from .transform import transform as _transform
+
+        return _transform(self._w, x_new, distance_type="eu", **opts)
+
+
+def online_nmf(batches, m: int, k: int, **kwargs) -> OnlineNMF:
+    """Drive :class:`OnlineNMF` over an iterable of (m, b) minibatches."""
+    model = OnlineNMF(m, k, **kwargs)
+    for x_t in batches:
+        model.partial_fit(x_t)
+    return model
