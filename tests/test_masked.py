@@ -144,3 +144,21 @@ def test_mask_with_schedule_raises(masked_problem):
     x, mask, _, _ = masked_problem
     with pytest.raises(ValueError):
         NMF(x, 4).factorize(method="mur", schedule="ulysses", mask=mask)
+
+
+def test_masked_kl_cold_rows_and_columns(rng):
+    """Fully-unobserved rows/columns (cold users/items) must not NaN the
+    KL solver — their factor entries stay at the init value."""
+    m, n, k = 20, 16, 3
+    x = rng.random((m, n)) + 0.05
+    mask = np.ones((m, n))
+    mask[3, :] = 0.0   # cold row
+    mask[:, 7] = 0.0   # cold column
+    w0 = rng.random((m, k)) + 0.1
+    h0 = rng.random((k, n)) + 0.1
+    res = mur_masked(x, mask, k, distance_type="kl", w_init=w0, h_init=h0,
+                     min_iter=3, max_iter=15, tol1=0.0, tol2=0.0)
+    assert np.all(np.isfinite(res.w)) and np.all(np.isfinite(res.h))
+    assert np.all(np.isfinite(np.asarray(res.obj_history)))
+    np.testing.assert_allclose(res.w[3], w0[3])   # untouched
+    np.testing.assert_allclose(res.h[:, 7], h0[:, 7])

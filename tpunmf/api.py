@@ -78,38 +78,42 @@ class NMF:
         """
         params = {**self.method_params, **method_params}
 
-        if method == "mur" and "schedule" in params:
-            # explicit-collective layouts (all_to_all flips / rank sharding)
-            from .parallel import mur_sharded as _mur_sharded
-
-            if params.get("mask") is not None:
+        if method == "mur":
+            # routing extensions (each None-valued key is simply ignored):
+            # schedule= -> explicit-collective layouts, beta= -> generalized
+            # beta-divergence, mask= -> masked/weighted factorization
+            schedule = params.pop("schedule", None)
+            beta = params.pop("beta", None)
+            mask = params.pop("mask", None)
+            chosen = [n for n, v in (("schedule", schedule), ("beta", beta),
+                                     ("mask", mask)) if v is not None]
+            if len(chosen) > 1:
                 raise ValueError(
-                    "mask= is not supported with schedule=; use the GSPMD "
-                    "masked path (factorize(method='mur', mask=...))")
-            mesh = params.pop("mesh", self.mesh)
-            if mesh is None:
-                raise ValueError(
-                    "schedule= requires a mesh (NMF(..., mesh=...) or "
-                    "factorize(..., mesh=...))")
-            self.results = _mur_sharded(self.data, self.factors, mesh, **params)
-        elif method == "mur" and params.get("beta") is not None:
-            # generalized beta-divergence objective (0=IS, 1=KL, 2=EU)
-            from .solvers import mur_beta as _mur_beta
+                    f"{' and '.join(chosen)} are mutually exclusive")
+            if schedule is not None:
+                from .parallel import mur_sharded as _mur_sharded
 
-            if params.get("mask") is not None:
-                raise ValueError("mask= and beta= cannot be combined")
-            self.results = _mur_beta(self.data, self.factors, **params)
-        elif method == "mur" and params.get("mask") is not None:
-            # masked/weighted factorization: fit observed cells only
-            from .solvers import mur_masked as _mur_masked
+                mesh = params.pop("mesh", self.mesh)
+                if mesh is None:
+                    raise ValueError(
+                        "schedule= requires a mesh (NMF(..., mesh=...) or "
+                        "factorize(..., mesh=...))")
+                self.results = _mur_sharded(self.data, self.factors, mesh,
+                                            schedule=schedule, **params)
+            elif beta is not None:
+                from .solvers import mur_beta as _mur_beta
 
-            mask = params.pop("mask")
-            self.results = _mur_masked(self.data, mask, self.factors, **params)
-        elif method == "mur":
-            from .solvers import mur as _mur
+                self.results = _mur_beta(self.data, self.factors, beta=beta,
+                                         **params)
+            elif mask is not None:
+                from .solvers import mur_masked as _mur_masked
 
-            params.pop("mask", None)
-            self.results = _mur(self.data, self.factors, **params)
+                self.results = _mur_masked(self.data, mask, self.factors,
+                                           **params)
+            else:
+                from .solvers import mur as _mur
+
+                self.results = _mur(self.data, self.factors, **params)
         elif method == "anls":
             from .solvers import anls as _anls
 
@@ -146,8 +150,11 @@ class NMF:
             raise RuntimeError("Nothing trained: call factorize() first.")
         from .solvers import transform as _transform
 
+        # beta-divergence fits record tags like 'is'/'beta0.5' that the
+        # encoder doesn't implement — fall back to the exact EU NNLS encode
+        trained = getattr(self.results.experiment, "distance_type", "eu")
         opts.setdefault("distance_type",
-                        getattr(self.results.experiment, "distance_type", "eu"))
+                        trained if trained in ("eu", "kl") else "eu")
         return _transform(self.results.w, data, **opts)
 
     def inverse_transform(self, h):

@@ -205,7 +205,11 @@ def rank_scan(
     base = key if key is not None else jax.random.PRNGKey(0)
 
     def one_k(k: int):
-        def run(seed_key):
+        # x is a jit ARGUMENT, not a closure constant: closed-over arrays
+        # are serialized into the remote-compile payload on tunneled TPU
+        # backends and hit request-size limits at exactly the data scales
+        # rank selection is for
+        def run(x, seed_key):
             w, h = random_init(seed_key, m, n, k, kind="abs_normal",
                                dtype=x.dtype)
 
@@ -239,7 +243,7 @@ def rank_scan(
             return conn.astype(x.dtype), obj
 
         keys = jax.random.split(jax.random.fold_in(base, k), n_seeds)
-        conns, objs = jax.jit(jax.vmap(run))(keys)
+        conns, objs = jax.jit(jax.vmap(run, in_axes=(None, 0)))(x, keys)
         consensus = jnp.mean(conns, axis=0)
         dispersion = jnp.mean(4.0 * (consensus - 0.5) ** 2)
         return float(dispersion), float(jnp.mean(objs))

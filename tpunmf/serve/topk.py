@@ -180,7 +180,10 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
         lambda s, e: h_source[:, s:e])
 
     b = w_batch.shape[0]
-    vals = jnp.full((b, k), -jnp.inf, dtype=jnp.float32)
+    # candidates carry the score dtype end-to-end: downcasting (e.g. f64
+    # scores to f32) before the cross-panel merge could mis-rank near-ties
+    score_dtype = jnp.result_type(jnp.asarray(w_batch).dtype, jnp.float32)
+    vals = jnp.full((b, k), -jnp.inf, dtype=score_dtype)
     idx = jnp.full((b, k), -1, dtype=jnp.int32)
     n_shards = mesh.shape["cols"] if (
         mesh is not None and "cols" in mesh.axis_names) else 1
@@ -209,7 +212,7 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
             recall_target=recall_target)
         vals, idx = _merge_topk(
             vals, idx,
-            p_vals.astype(jnp.float32),
+            p_vals.astype(score_dtype),
             (p_idx + start).astype(jnp.int32), k)
     return vals, idx
 

@@ -173,8 +173,11 @@ def hals(
         w = jnp.maximum(w, _EPS)
         h = jnp.maximum(h, _EPS)
 
-    xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
-    xsq = jnp.sum(xf * xf)
+    if objective == "gram":
+        xf = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+        xsq = jnp.sum(xf * xf)
+    else:
+        xsq = jnp.zeros((), dtype=x.dtype)  # unused by the exact objective
     obj0 = eu_residual_obj(x, w, h, use_pallas=False)
     carry = init_carry(obj0, max_iter, (w, h))
 
@@ -188,7 +191,8 @@ def hals(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
-        config_tag=repr(experiment),
+        config_tag=repr(experiment)
+        + f"|hals:sweeps={inner_sweeps},obj={objective}",
     )
 
     w, h = carry.inner

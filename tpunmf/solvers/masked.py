@@ -70,15 +70,20 @@ def _mur_masked_block(x, mask, carry: LoopCarry, stop_i, tol1, tol2,
         return (w, h), _masked_eu_obj(x, mask, w, h)
 
     def step_kl(inner, i):
+        # fully-unobserved rows/columns (cold users/items) zero both the
+        # numerator and denominator — any value is optimal there, so the
+        # factor entry is left unchanged instead of 0/0 -> NaN
         w, h = inner
         r = mask * x / (w @ h + _EPS)
         a = w * (r @ h.T)
         b = mask @ h.T                             # replaces ones @ h.T
-        w = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+        den = b + jnp.sqrt(b * b + 4.0 * lambda_w * a)
+        w = jnp.where(den > 0, 2.0 * a / jnp.where(den > 0, den, 1.0), w)
         r2 = mask * x / (w @ h + _EPS)
         c = h * (w.T @ r2)
         d = w.T @ mask                             # replaces w.T @ ones
-        h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+        den = d + jnp.sqrt(d * d + 4.0 * lambda_h * c)
+        h = jnp.where(den > 0, 2.0 * c / jnp.where(den > 0, den, 1.0), h)
         return (w, h), _masked_kl_obj(x, mask, w, h)
 
     step = step_kl if distance_type == "kl" else step_eu
