@@ -32,13 +32,14 @@ import numpy as np
 _EPS = 1e-12
 
 
-@partial(jax.jit, static_argnames=("sweeps",))
-def _online_step(w, a, b_stat, x_t, rho, *, sweeps: int = 2):
+@partial(jax.jit, static_argnames=("sweeps", "solve_method"))
+def _online_step(w, a, b_stat, x_t, rho, *, sweeps: int = 2,
+                 solve_method: str = "chol"):
     from ..nnls import nnls_activeset
 
     k = w.shape[1]
     gram = w.T @ w + _EPS * jnp.eye(k, dtype=w.dtype)
-    h_t = nnls_activeset(gram, w.T @ x_t)
+    h_t = nnls_activeset(gram, w.T @ x_t, solve_method=solve_method)
 
     a = rho * a + h_t @ h_t.T
     b_stat = rho * b_stat + x_t @ h_t.T
@@ -68,11 +69,15 @@ class OnlineNMF:
       sweeps: HALS sweeps over W per minibatch.
       key: PRNG key for the random W init (|N(0,1)|).
       w_init: explicit (m, k) initial basis.
+      track_objective: append each batch's EU objective to
+        ``obj_history``.  Fetching that scalar forces a host<->device
+        sync per minibatch; set False to keep the stream fully async
+        (state stays on device between calls either way).
     """
 
     def __init__(self, m: int, k: int, *, rho: float = 1.0,
                  sweeps: int = 2, key=None, w_init=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, track_objective: bool = True):
         if not 0.0 < rho <= 1.0:
             raise ValueError("rho must be in (0, 1]")
         self.k = k
@@ -91,6 +96,13 @@ class OnlineNMF:
         self._b = jnp.zeros((m, k), dtype=dtype)
         self.n_batches = 0
         self.obj_history: list = []
+        self.track_objective = bool(track_objective)
+        # same fence as ANLS: batched Cholesky in deep while nesting
+        # stalls the current TPU runtime (tpu_defaults case B) — and CG
+        # is the faster NNLS inner solve there anyway
+        from .tpu_defaults import anls_masked_solver
+
+        self._solve_method = anls_masked_solver(jax.default_backend())
 
     @property
     def w(self):
@@ -104,9 +116,11 @@ class OnlineNMF:
                 f"minibatch must be ({self._w.shape[0]}, b); got {x_t.shape}")
         self._w, self._a, self._b, h_t, obj = _online_step(
             self._w, self._a, self._b, x_t,
-            jnp.asarray(self.rho, self._w.dtype), sweeps=self.sweeps)
+            jnp.asarray(self.rho, self._w.dtype), sweeps=self.sweeps,
+            solve_method=self._solve_method)
         self.n_batches += 1
-        self.obj_history.append(float(obj))
+        if self.track_objective:
+            self.obj_history.append(float(obj))
         return h_t
 
     def transform(self, x_new, **opts):
