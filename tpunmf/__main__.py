@@ -17,6 +17,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("-m", "--method", default="mur",
                    choices=["mur", "anls", "admm", "ao_admm", "hals"])
     p.add_argument("--distance-type", default=None, choices=["eu", "kl"])
+    p.add_argument("--beta", type=float, default=None,
+                   help="beta-divergence objective for mur (0=IS, 1=KL, 2=EU)")
     p.add_argument("--max-iter", type=int, default=None)
     p.add_argument("--min-iter", type=int, default=None)
     p.add_argument("--tol1", type=float, default=None)
@@ -42,6 +44,11 @@ def _solver_params(args) -> dict:
             params[name] = val
     if args.nndsvd is not None:
         params["nndsvd_init"] = (True, args.nndsvd)
+    if getattr(args, "beta", None) is not None:
+        if args.method != "mur":
+            raise SystemExit("--beta requires -m mur")
+        params["beta"] = args.beta
+        params.pop("distance_type", None)
     if args.checkpoint:
         params["checkpoint_path"] = args.checkpoint
         params["resume"] = True
