@@ -29,6 +29,18 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Parity comparisons are f64-vs-the-f64-numpy-reference: force the CPU
+# backend (with 8 virtual devices for config4's sharded check) BEFORE the
+# first jax op — on the axon-tunneled TPU f64 is emulated at f32-grade
+# precision and ~25x slower, which would both fail and crawl.
+if "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
 REFERENCE = "/root/reference"
 HAS_REF = os.path.isdir(os.path.join(REFERENCE, "nmf"))
 if HAS_REF:

@@ -132,3 +132,25 @@ def test_freeze_stalled_guard_preserves_optimum(rng):
     on = np.asarray(nnls_activeset(ct_c, ct_a, freeze_stalled=True))
     off = np.asarray(nnls_activeset(ct_c, ct_a, freeze_stalled=False))
     np.testing.assert_allclose(on, off, rtol=1e-10, atol=1e-12)
+
+
+def test_dead_component_zero_gram_diagonal(rng):
+    """A zero column of C (e.g. an all-zero NNDSVD factor row) must solve
+    to exactly 0 instead of NaN-ing the whole batch (singular seed solve)."""
+    from tpunmf.nnls import nnls_activeset, nnls_bpp
+
+    n_obs, l, p = 30, 6, 9
+    c = rng.random((n_obs, l)) + 0.05
+    c[:, 2] = 0.0                      # dead component
+    a = rng.random((n_obs, p))
+    for solver in (nnls_activeset, nnls_bpp):
+        k = np.asarray(solver(c.T @ c, c.T @ a))
+        assert np.all(np.isfinite(k)), solver.__name__
+        np.testing.assert_array_equal(k[2], 0.0)
+        # remaining components match scipy on the reduced problem
+        from scipy.optimize import nnls as scipy_nnls
+
+        keep = [0, 1, 3, 4, 5]
+        for j in range(p):
+            ref, _ = scipy_nnls(c[:, keep], a[:, j])
+            np.testing.assert_allclose(k[keep, j], ref, atol=1e-8)

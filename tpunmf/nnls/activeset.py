@@ -190,6 +190,15 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
     if inner_cap == 0:
         inner_cap = 3 * l
 
+    # dead components: CtC_ll == 0 means column l of C is identically zero
+    # (CtC is PSD, so the whole row/col is zero too) — e.g. an all-zero
+    # NNDSVD-init factor row.  Their exact NNLS coefficient is 0; without
+    # this the unconstrained seed solve hits a singular system and NaNs
+    # the whole batch.
+    dead = jnp.diag(ct_c) <= 0.0
+    ct_c = ct_c + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    ct_a = jnp.where(dead[:, None], 0.0, ct_a)
+
     if p_set0 is None:
         # unconstrained seed + initial passive sets (fcnnls steps 4-7)
         from ..core.linalg import spd_solve

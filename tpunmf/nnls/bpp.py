@@ -42,6 +42,13 @@ def nnls_bpp(ct_c, ct_a, f_set0=None, *, max_iter: int = 0,
         max_iter = 10 * l + 50
     _solve = masked_solve if solve_method == "chol" else masked_solve_cg
 
+    # dead components (zero Gram diagonal => zero C column, PSD): exact
+    # coefficient is 0 — guard the masked solves against the singular row
+    # (same rationale as nnls_activeset)
+    dead = jnp.diag(ct_c) <= 0.0
+    ct_c = ct_c + jnp.diag(jnp.where(dead, 1.0, 0.0))
+    ct_a = jnp.where(dead[:, None], 0.0, ct_a)
+
     if f_set0 is None:
         # start from the all-active partition (x = 0, y = -CtA)
         f_set = jnp.zeros((l, p), dtype=bool)
