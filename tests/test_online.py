@@ -76,3 +76,27 @@ def test_online_nmf_driver(stream_problem):
     model = online_nmf(batches, m, 4)
     assert model.n_batches == len(batches)
     assert model.w.shape == (m, 4) and np.all(model.w >= 0)
+
+
+def test_ragged_batches_pad_exactly(rng):
+    """Zero-padding ragged batches encodes pad columns to h=0, so the
+    sufficient statistics (and W) match the unpadded sequence exactly."""
+    import jax.numpy as jnp
+
+    m, k = 18, 3
+    w0 = rng.random((m, k)) + 0.1
+    xa = rng.random((m, 8))
+    xb = rng.random((m, 5))           # ragged tail
+    model = OnlineNMF(m, k, w_init=w0, dtype=jnp.float64)
+    model.partial_fit(xa)
+    h_tail = model.partial_fit(xb)
+    assert h_tail.shape == (k, 5)
+
+    ref = OnlineNMF(m, k, w_init=w0, dtype=jnp.float64)
+    ref.partial_fit(xa)
+    ref.partial_fit(np.pad(xb, ((0, 0), (0, 3))))
+    np.testing.assert_allclose(model.w, ref.w, rtol=1e-12)
+
+    # transform accepts an explicit distance_type (was a TypeError)
+    h = model.transform(xa[:, :2], distance_type="kl", n_iter=20)
+    assert np.all(np.isfinite(np.asarray(h)))

@@ -47,8 +47,10 @@ def _solver_params(args) -> dict:
     if getattr(args, "beta", None) is not None:
         if args.method != "mur":
             raise SystemExit("--beta requires -m mur")
+        if args.distance_type is not None:
+            raise SystemExit("--beta and --distance-type are mutually "
+                             "exclusive (beta IS the objective)")
         params["beta"] = args.beta
-        params.pop("distance_type", None)
     if args.checkpoint:
         params["checkpoint_path"] = args.checkpoint
         params["resume"] = True

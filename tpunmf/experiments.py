@@ -110,7 +110,9 @@ def mur_lambda_grid(
     lws = jnp.asarray([c[0] for c in combos], dtype=x.dtype)
     lhs = jnp.asarray([c[1] for c in combos], dtype=x.dtype)
 
-    def one(lw, lh):
+    # x/w0/h0 are jit ARGUMENTS (closed-over arrays would be serialized
+    # into the remote-compile payload on tunneled TPU backends)
+    def one(x, w0, h0, lw, lh):
         def step_eu(c, _):
             w, h = c
             w = w * (x @ h.T) / (w @ (h @ h.T) + lw * w + _EPS)
@@ -139,7 +141,7 @@ def mur_lambda_grid(
         (w, h), objs = jax.lax.scan(step, (w0, h0), None, length=n_iter)
         return w, h, objs
 
-    fn = jax.vmap(one)
+    fn = jax.vmap(one, in_axes=(None, None, None, 0, 0))
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -164,7 +166,7 @@ def mur_lambda_grid(
         )
     else:
         fn = jax.jit(fn)
-    ws, hs, objs = fn(lws, lhs)
+    ws, hs, objs = fn(x, w0, h0, lws, lhs)
     return combos, ws, hs, objs
 
 

@@ -180,10 +180,10 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
         lambda s, e: h_source[:, s:e])
 
     b = w_batch.shape[0]
-    # candidates carry the score dtype end-to-end: downcasting (e.g. f64
-    # scores to f32) before the cross-panel merge could mis-rank near-ties
-    score_dtype = jnp.result_type(jnp.asarray(w_batch).dtype, jnp.float32)
-    vals = jnp.full((b, k), -jnp.inf, dtype=score_dtype)
+    # candidates carry the ACTUAL score dtype end-to-end (taken from the
+    # first panel's results, so f64 H panels aren't truncated): downcasting
+    # before the cross-panel merge could mis-rank near-ties
+    vals = None
     idx = jnp.full((b, k), -1, dtype=jnp.int32)
     n_shards = mesh.shape["cols"] if (
         mesh is not None and "cols" in mesh.axis_names) else 1
@@ -210,9 +210,11 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
             mesh, w_batch, jnp.asarray(panel), kk,
             exclude=None if excl_panel is None else jnp.asarray(excl_panel),
             recall_target=recall_target)
+        if vals is None:
+            vals = jnp.full((b, k), -jnp.inf, dtype=p_vals.dtype)
         vals, idx = _merge_topk(
             vals, idx,
-            p_vals.astype(score_dtype),
+            p_vals.astype(vals.dtype),
             (p_idx + start).astype(jnp.int32), k)
     return vals, idx
 

@@ -44,15 +44,12 @@ def _online_step(w, a, b_stat, x_t, rho, *, sweeps: int = 2,
     a = rho * a + h_t @ h_t.T
     b_stat = rho * b_stat + x_t @ h_t.T
 
-    def sweep(_, w):
-        def col(l, w):
-            denom = a[l, l] + _EPS
-            upd = w[:, l] + (b_stat[:, l] - w @ a[:, l]) / denom
-            return w.at[:, l].set(jnp.maximum(upd, 0.0))
+    # the surrogate's column update is exactly the batch HALS sweep with
+    # (XHt, HHt) -> (B, A); reuse that kernel (incl. its unroll tuning)
+    from .hals import _hals_sweep_w
 
-        return jax.lax.fori_loop(0, k, col, w, unroll=8)
-
-    w = jax.lax.fori_loop(0, sweeps, sweep, w)
+    w = jax.lax.fori_loop(
+        0, sweeps, lambda t, w: _hals_sweep_w(w, b_stat, a, 0.0, unroll=8), w)
     # per-batch EU objective of the fresh encode (diagnostic)
     d = x_t - w @ h_t
     return w, a, b_stat, h_t, 0.5 * jnp.sum(d * d)
@@ -97,6 +94,7 @@ class OnlineNMF:
         self.n_batches = 0
         self.obj_history: list = []
         self.track_objective = bool(track_objective)
+        self._batch_width = 0
         # same fence as ANLS: batched Cholesky in deep while nesting
         # stalls the current TPU runtime (tpu_defaults case B) — and CG
         # is the faster NNLS inner solve there anyway
@@ -109,11 +107,22 @@ class OnlineNMF:
         return np.asarray(self._w)
 
     def partial_fit(self, x_t):
-        """Consume one (m, b) column minibatch; returns its encode H_t."""
+        """Consume one (m, b) column minibatch; returns its encode H_t.
+
+        Ragged batches are zero-padded up to the widest batch seen so
+        far — zero columns encode to exactly h = 0, so the sufficient
+        statistics are unchanged and the jitted step is not recompiled
+        per distinct width (each fresh width otherwise recompiles).
+        """
         x_t = jnp.asarray(x_t, dtype=self._w.dtype)
         if x_t.ndim != 2 or x_t.shape[0] != self._w.shape[0]:
             raise ValueError(
                 f"minibatch must be ({self._w.shape[0]}, b); got {x_t.shape}")
+        width = x_t.shape[1]
+        if width < self._batch_width:
+            x_t = jnp.pad(x_t, ((0, 0), (0, self._batch_width - width)))
+        else:
+            self._batch_width = width
         self._w, self._a, self._b, h_t, obj = _online_step(
             self._w, self._a, self._b, x_t,
             jnp.asarray(self.rho, self._w.dtype), sweeps=self.sweeps,
@@ -121,13 +130,15 @@ class OnlineNMF:
         self.n_batches += 1
         if self.track_objective:
             self.obj_history.append(float(obj))
-        return h_t
+        return h_t[:, :width]
 
     def transform(self, x_new, **opts):
-        """Encode new columns against the current basis (exact NNLS)."""
+        """Encode new columns against the current basis (default: exact
+        EU NNLS; pass distance_type='kl' for the fixed-W KL encode)."""
         from .transform import transform as _transform
 
-        return _transform(self._w, x_new, distance_type="eu", **opts)
+        opts.setdefault("distance_type", "eu")
+        return _transform(self._w, x_new, **opts)
 
 
 def online_nmf(batches, m: int, k: int, **kwargs) -> OnlineNMF:
