@@ -6,7 +6,13 @@ than MUR for the same Euclidean objective; per outer iteration both move
 target objective — at the headline shape (8192 x 8192, rank 128, f32)
 from an identical random init.
 
-Run (serialized — single tunneled chip):  python benchmarks/bench_hals.py
+Run ONE config per process (a timeout SIGTERM mid-compile wedges the
+tunneled TPU worker for ~20 min; each config needs fresh multi-minute
+compiles), appending JSONL records:
+
+    for c in mur_eu hals_s1 hals_s2; do
+        python benchmarks/bench_hals.py $c /tmp/bench_hals.jsonl
+    done
 """
 import json
 import os

@@ -110,3 +110,17 @@ def test_half_specified_init_raises(lowrank_data):
 
     with pytest.raises(ValueError, match="w_init and h_init"):
         mur(lowrank_data, 4, w_init=np.ones((60, 4)))
+
+
+def test_fit_and_fit_transform(lowrank_data):
+    from tpunmf import NMF
+
+    model = NMF(lowrank_data, 4).fit(method="mur", distance_type="eu",
+                                     min_iter=2, max_iter=10, tol1=0.0,
+                                     tol2=0.0)
+    assert model.w.shape == (lowrank_data.shape[0], 4)
+    w = NMF(lowrank_data, 4).fit_transform(
+        method="hals", min_iter=2, max_iter=10, tol1=0.0, tol2=0.0)
+    import numpy as np
+
+    assert np.asarray(w).shape == (lowrank_data.shape[0], 4)

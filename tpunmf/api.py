@@ -139,6 +139,17 @@ class NMF:
             self.save_factorization()
         return self.results
 
+    def fit(self, method: str = "mur", **method_params) -> "NMF":
+        """sklearn-style convenience: factorize and return self."""
+        self.factorize(method=method, **method_params)
+        return self
+
+    def fit_transform(self, method: str = "mur", **method_params):
+        """sklearn-style convenience: factorize and return W (the
+        sample-by-component representation, matching sklearn's NMF)."""
+        self.factorize(method=method, **method_params)
+        return self.results.w
+
     def transform(self, data, **opts):
         """Encode new data against the trained basis W (k x n_new).
 
