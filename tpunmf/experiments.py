@@ -110,26 +110,30 @@ def mur_lambda_grid(
     lws = jnp.asarray([c[0] for c in combos], dtype=x.dtype)
     lhs = jnp.asarray([c[1] for c in combos], dtype=x.dtype)
 
+    from .solvers.streaming import (
+        _mur_h_update_eu,
+        _mur_h_update_kl,
+        _mur_w_update_eu,
+        _mur_w_update_kl,
+    )
+
     # x/w0/h0 are jit ARGUMENTS (closed-over arrays would be serialized
-    # into the remote-compile payload on tunneled TPU backends)
+    # into the remote-compile payload on tunneled TPU backends); the
+    # update math is the canonical copy in solvers/streaming.py
     def one(x, w0, h0, lw, lh):
         def step_eu(c, _):
             w, h = c
-            w = w * (x @ h.T) / (w @ (h @ h.T) + lw * w + _EPS)
-            h = h * (w.T @ x) / ((w.T @ w) @ h + lh * h + _EPS)
+            w = _mur_w_update_eu(w, x @ h.T, h @ h.T, lw)
+            h = _mur_h_update_eu(h, w.T @ x, w.T @ w, lh)
             obj = 0.5 * jnp.sum((x - w @ h) ** 2)
             return (w, h), obj
 
         def step_kl(c, _):
             w, h = c
             r = x / (w @ h + _EPS)
-            a = w * (r @ h.T)
-            b = jnp.sum(h, axis=1)[None, :]
-            w = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lw * a))
+            w = _mur_w_update_kl(w, r @ h.T, h, lw)
             r2 = x / (w @ h + _EPS)
-            cc = h * (w.T @ r2)
-            d = jnp.sum(w, axis=0)[:, None]
-            h = 2.0 * cc / (d + jnp.sqrt(d * d + 4.0 * lh * cc))
+            h = _mur_h_update_kl(h, w.T @ r2, w, lh)
             wh = w @ h
             val = x * jnp.log(x / wh)
             val = jnp.where(val == jnp.inf, 0.0, val)
@@ -211,22 +215,29 @@ def rank_scan(
         # are serialized into the remote-compile payload on tunneled TPU
         # backends and hit request-size limits at exactly the data scales
         # rank selection is for
+        from .solvers.streaming import (
+            _mur_h_update_eu,
+            _mur_h_update_kl,
+            _mur_w_update_eu,
+            _mur_w_update_kl,
+        )
+
         def run(x, seed_key):
             w, h = random_init(seed_key, m, n, k, kind="abs_normal",
                                dtype=x.dtype)
 
             def step_eu(c, _):
                 w, h = c
-                w = w * (x @ h.T) / (w @ (h @ h.T) + _EPS)
-                h = h * (w.T @ x) / ((w.T @ w) @ h + _EPS)
+                w = _mur_w_update_eu(w, x @ h.T, h @ h.T, 0.0)
+                h = _mur_h_update_eu(h, w.T @ x, w.T @ w, 0.0)
                 return (w, h), None
 
             def step_kl(c, _):
                 w, h = c
                 r = x / (w @ h + _EPS)
-                w = w * (r @ h.T) / jnp.sum(h, axis=1)[None, :]
+                w = _mur_w_update_kl(w, r @ h.T, h, 0.0)
                 r2 = x / (w @ h + _EPS)
-                h = h * (w.T @ r2) / jnp.sum(w, axis=0)[:, None]
+                h = _mur_h_update_kl(h, w.T @ r2, w, 0.0)
                 return (w, h), None
 
             step = step_kl if distance_type == "kl" else step_eu

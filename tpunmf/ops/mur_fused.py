@@ -173,6 +173,10 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
             )
     m, n = x.shape
     k = w.shape[1]
+    if m % bm or n % bn:
+        raise ValueError(
+            f"(bm={bm}, bn={bn}) must divide (m={m}, n={n}) — the grid "
+            "would silently truncate")
     nj = n // bn
     grid = (m // bm, nj)
     x_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM)
@@ -300,6 +304,8 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     """
     m, n = x.shape
     k = w.shape[1]
+    if m % bm:
+        raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
     ni = m // bm
     gh = h @ h.T
     ht = h.T
@@ -478,6 +484,10 @@ def mur_iteration_kl(x, w, h, *, lam_w: float, bm: int, bs: int | None = None,
     """
     m, n = x.shape
     k = w.shape[1]
+    if m % bm:
+        raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
+    if bs is not None and n % bs:
+        raise ValueError(f"bs={bs} must divide n={n} (grid would truncate)")
     ni = m // bm
     hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
@@ -569,6 +579,10 @@ def mur_h_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
     W — for EU it feeds the free Gram-trick objective."""
     m, n = x.shape
     k = w.shape[1]
+    if m % bm or n % bn:
+        raise ValueError(
+            f"(bm={bm}, bn={bn}) must divide (m={m}, n={n}) — the grid "
+            "would silently truncate")
     ni = m // bm
     grid = (n // bn, ni)  # row index varies fastest
     x_spec = pl.BlockSpec((bm, bn), lambda j, i: (i, j), memory_space=pltpu.VMEM)

@@ -17,10 +17,12 @@ Why two layouts (Ulysses):
   * the H-update ``H *= (W^T X) / ((W^T W) H)`` is column-parallel when X
     is COLUMN-sharded;
   * ``mur_ulysses`` therefore flips X between the two layouts with one
-    ``all_to_all`` per half-iteration instead of keeping X replicated or
-    paying a psum over partial products.  Peak per-device X memory is one
-    panel — this is the layout-switch pattern the beyond-HBM W-update
-    needs (VERDICT round-1 item 5).
+    ``all_to_all`` (hoisted before the loop — X is loop-invariant)
+    instead of keeping X replicated or paying a psum over partial
+    products.  Peak per-device X memory is TWO panels (both layouts stay
+    live across the solve), vs p panels for replication — the
+    layout-switch pattern the beyond-HBM W-update needs (VERDICT
+    round-1 item 5).
 
 Why rank sharding (EP analog):
   * at very large k, replicating W (m x k) and H (k x n) everywhere
@@ -39,6 +41,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..core.convergence import converged as _converged
+from ..solvers.streaming import (
+    _mur_h_update_eu,
+    _mur_h_update_kl,
+    _mur_w_update_eu,
+    _mur_w_update_kl,
+)
 
 _EPS = 1e-9
 
@@ -111,16 +119,13 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, tol1, tol2, *,
 
         def step_eu(w_loc, h):
             # --- W half: X row-sharded, H replicated — fully local
-            gram_h = h @ h.T
-            w_loc = w_loc * (x_loc @ h.T) / (
-                w_loc @ gram_h + lambda_w * w_loc + _EPS)
+            # (update math = the canonical copy in solvers/streaming.py)
+            w_loc = _mur_w_update_eu(w_loc, x_loc @ h.T, h @ h.T, lambda_w)
             # --- layout switch (Ulysses): W gathered for the column half
             w_full = jax.lax.all_gather(w_loc, axis, axis=0, tiled=True)
             # --- H half: each device updates its own column block
-            h_blk = h_block(h)
-            gram_w = w_full.T @ w_full
-            h_blk = h_blk * (w_full.T @ x_cols) / (
-                gram_w @ h_blk + lambda_h * h_blk + _EPS)
+            h_blk = _mur_h_update_eu(h_block(h), w_full.T @ x_cols,
+                                     w_full.T @ w_full, lambda_h)
             h = jax.lax.all_gather(h_blk, axis, axis=1, tiled=True)
             # objective from the column panels (exact EU residual)
             d = x_cols - w_full @ h_blk
@@ -129,18 +134,15 @@ def _mur_ulysses_jit(mesh, x_rows, w, h, lambda_w, lambda_h, tol1, tol2, *,
 
         def step_kl(w_loc, h):
             # regularized KL closed forms (nmf/mur.py:25-27,41-45); the
-            # W half is local on the row panel, the H half on the column
-            # panel after the layout switch
+            # W half is local on the row panel (H replicated, so its row
+            # sums are global), the H half on the column panel after the
+            # layout switch
             r = x_loc / (w_loc @ h + _EPS)
-            a = w_loc * (r @ h.T)
-            b = jnp.sum(h, axis=1)[None, :]
-            w_loc = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+            w_loc = _mur_w_update_kl(w_loc, r @ h.T, h, lambda_w)
             w_full = jax.lax.all_gather(w_loc, axis, axis=0, tiled=True)
             h_blk = h_block(h)
             r2 = x_cols / (w_full @ h_blk + _EPS)
-            c = h_blk * (w_full.T @ r2)
-            d = jnp.sum(w_full, axis=0)[:, None]
-            h_blk = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+            h_blk = _mur_h_update_kl(h_blk, w_full.T @ r2, w_full, lambda_h)
             h = jax.lax.all_gather(h_blk, axis, axis=1, tiled=True)
             obj = jax.lax.psum(_masked_kl_sum(x_cols, w_full @ h_blk), axis)
             return (w_loc, h, obj)
@@ -222,19 +224,15 @@ def _mur_rank_jit(mesh, x, w, h, lambda_w, lambda_h, tol1, tol2, *, axis,
             return (w_loc, h_loc, obj)
 
         def step_kl(w_loc, h_loc):
-            # regularized KL closed form 2a/(b + sqrt(b^2 + 4*lambda*a))
-            # (nmf/mur.py:25-27); row/col sums of the local factor slice
-            # are exactly the slice of the full sums — fully local
+            # regularized KL closed form (canonical copy in
+            # solvers/streaming.py); row/col sums of the local factor
+            # slice are exactly the slice of the full sums — fully local
             wh = recon(w_loc, h_loc)
             r = x_rep / (wh + _EPS)
-            a = w_loc * (r @ h_loc.T)
-            b = jnp.sum(h_loc, axis=1)[None, :]
-            w_loc = 2.0 * a / (b + jnp.sqrt(b * b + 4.0 * lambda_w * a))
+            w_loc = _mur_w_update_kl(w_loc, r @ h_loc.T, h_loc, lambda_w)
             wh = recon(w_loc, h_loc)
             r2 = x_rep / (wh + _EPS)
-            c = h_loc * (w_loc.T @ r2)
-            d = jnp.sum(w_loc, axis=0)[:, None]
-            h_loc = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
+            h_loc = _mur_h_update_kl(h_loc, w_loc.T @ r2, w_loc, lambda_h)
             wh = recon(w_loc, h_loc)
             from ..core.losses import kl_elementwise_sum
 

@@ -189,6 +189,10 @@ def anls(
     if masked_solver not in ("chol", "cg"):
         raise ValueError("masked_solver must be 'chol' or 'cg'")
     nnls_opts_t = tuple(sorted((nnls_opts or {}).items()))
+    if nnls_opts_t and nnls_solver == "bpp":
+        raise ValueError(
+            "nnls_opts applies to the active-set solver only; it would be "
+            "silently ignored with nnls_solver='bpp'")
 
     x = jnp.asarray(x)
     if use_pallas is None:
@@ -287,7 +291,11 @@ def anls(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
-        config_tag=repr(experiment),
+        # nnls_solver / nnls_opts / masked_solver change the optimization
+        # trajectory but aren't Experiment fields — include them so a
+        # checkpoint from a different NNLS configuration is rejected
+        config_tag=repr(experiment)
+        + f"|nnls={nnls_solver},{masked_solver},{nnls_opts_t}",
     )
 
     w, h = carry.inner
