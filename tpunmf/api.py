@@ -131,8 +131,14 @@ class NMF:
             from .solvers import hals as _hals
 
             self.results = _hals(self.data, self.factors, **params)
+        elif method == "semi_nmf":
+            # beyond-reference: mixed-sign data, W free / H >= 0
+            from .solvers import semi_nmf as _semi_nmf
+
+            self.results = _semi_nmf(self.data, self.factors, **params)
         else:
-            raise Exception("Method not known. Choose one from: mur anls admm ao_admm hals")
+            raise Exception("Method not known. Choose one from: "
+                            "mur anls admm ao_admm hals semi_nmf")
 
         print("Factorization done.")
         if saving:

@@ -5,6 +5,7 @@ from .ao_admm import ao_admm
 from .hals import hals
 from .masked import mur_masked
 from .online import OnlineNMF, online_nmf
+from .semi import semi_nmf
 from .mur import mur
 from .streaming import mur_streaming
 from .transform import inverse_transform, transform
@@ -21,6 +22,7 @@ __all__ = [
     "mur_masked",
     "OnlineNMF",
     "online_nmf",
+    "semi_nmf",
     "mur_streaming",
     "transform",
     "inverse_transform",
