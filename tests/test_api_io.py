@@ -66,9 +66,41 @@ def test_unknown_method_raises(lowrank_data):
     try:
         model.factorize(method="nope")
         raised = False
-    except Exception:
+    except Exception as e:
         raised = True
+        # the error must list the REAL dispatch set (api._METHODS)
+        for name in ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf"):
+            assert name in str(e)
     assert raised
+
+
+def test_methods_constant_matches_dispatch(lowrank_data):
+    """Every name in _METHODS dispatches (no drift between the constant,
+    the error message, and the real branch list); the CLI choices use the
+    same constant."""
+    from tpunmf.api import _METHODS
+
+    assert set(_METHODS) == {"mur", "anls", "admm", "ao_admm", "hals",
+                             "semi_nmf"}
+    x = np.abs(lowrank_data)
+    for method in _METHODS:
+        model = NMF(x, 3)
+        with contextlib.redirect_stdout(io.StringIO()):
+            res = model.factorize(method=method, min_iter=2, max_iter=3,
+                                  tol1=0.0, tol2=0.0)
+        assert res.w.shape == (x.shape[0], 3)
+
+    import tpunmf.__main__ as cli
+
+    parser_actions = []
+    import argparse
+
+    p = argparse.ArgumentParser()
+    cli._add_common(p)
+    for action in p._actions:
+        if "--method" in getattr(action, "option_strings", ()):
+            parser_actions = list(action.choices)
+    assert set(parser_actions) == set(_METHODS)
 
 
 def test_facade_with_mesh(lowrank_data):

@@ -19,6 +19,21 @@ def problem(rng):
     return x, w0, h0
 
 
+def test_beta_below_one_rejects_zero_init_reconstruction(problem):
+    """beta < 1 raises zero reconstruction cells to a negative power; an
+    explicit init that produces them must be rejected up front."""
+    x, w0, h0 = problem
+    w0 = w0.copy()
+    w0[0, :] = 0.0  # whole row zero -> (w0 @ h0)[0, :] == 0
+    with pytest.raises(ValueError, match="strictly positive"):
+        mur_beta(x, 4, beta=0.5, w_init=w0, h_init=h0, min_iter=2,
+                 max_iter=2, tol1=0.0, tol2=0.0)
+    # a strictly positive explicit init is accepted unchanged
+    res = mur_beta(x, 4, beta=0.5, w_init=problem[1], h_init=h0,
+                   min_iter=2, max_iter=2, tol1=0.0, tol2=0.0)
+    assert np.all(np.isfinite(res.obj_history))
+
+
 def test_beta2_matches_eu_mur(problem):
     x, w0, h0 = problem
     kw = dict(w_init=w0, h_init=h0, min_iter=6, max_iter=6, tol1=0.0, tol2=0.0)

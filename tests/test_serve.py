@@ -164,3 +164,21 @@ def test_topk_streaming_validation(rng):
 
     with pytest.raises(ValueError):
         topk_streaming(rng.random((2, 4)), rng.random((4, 10)), 10, 11)
+
+
+def test_topk_streaming_starved_returns_sentinels(rng):
+    """When exclusion leaves fewer than k valid items, the -inf-scored
+    slots must return index -1, never an excluded/padded item id."""
+    from tpunmf.serve import topk_streaming
+
+    b, r, n, k = 3, 5, 70, 6
+    w = rng.random((b, r))
+    h = rng.random((r, n))
+    exclude = np.ones((b, n), dtype=bool)
+    exclude[:, :4] = False  # only 4 valid items but k=6 requested
+    vals, idx = topk_streaming(w, h, n, k, panel_cols=33, exclude=exclude)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    starved = np.isneginf(vals)
+    assert starved.sum() == b * (k - 4)
+    assert np.all(idx[starved] == -1)
+    assert np.all(idx[~starved] < 4)  # the real hits are the valid items

@@ -14,6 +14,12 @@ def test_mur_keeps_pallas_on_tpu():
     assert td.mur_use_pallas("cpu") is False
 
 
+def test_hals_uses_pallas_objective_on_tpu():
+    # HALS has the MUR loop shape (no nested whiles) — fused objective on
+    assert td.hals_use_pallas("tpu") is True
+    assert td.hals_use_pallas("cpu") is False
+
+
 def test_anls_defaults_fence_case_a_and_b():
     # case B: batched Cholesky must not sit in 3-deep device nesting
     assert td.anls_masked_solver("tpu") == "cg"

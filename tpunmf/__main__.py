@@ -14,8 +14,9 @@ import sys
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("data", help="input matrix (.npy/.npz/.mat/.csv)")
     p.add_argument("-k", "--factors", type=int, required=True)
-    p.add_argument("-m", "--method", default="mur",
-                   choices=["mur", "anls", "admm", "ao_admm", "hals"])
+    from .api import _METHODS
+
+    p.add_argument("-m", "--method", default="mur", choices=list(_METHODS))
     p.add_argument("--distance-type", default=None, choices=["eu", "kl"])
     p.add_argument("--beta", type=float, default=None,
                    help="beta-divergence objective for mur (0=IS, 1=KL, 2=EU)")
@@ -38,6 +39,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
 def _solver_params(args) -> dict:
     params = {}
+    if args.method == "semi_nmf" and (
+            args.distance_type is not None or args.nndsvd is not None):
+        # semi-NMF is Euclidean with its own exact-LS W init
+        raise SystemExit("--distance-type/--nndsvd do not apply to semi_nmf")
     for name in ("distance_type", "max_iter", "min_iter", "tol1", "tol2"):
         val = getattr(args, name)
         if val is not None:

@@ -25,7 +25,10 @@ from .core.types import Results
 from .io.npz import load_results, save_results
 
 
-_METHODS = ("mur", "anls", "admm", "ao_admm", "hals")
+# the single source of truth for factorize()'s dispatch — validated up
+# front and used to build the unknown-method error message, so it cannot
+# drift from the real dispatch list (tests/test_api.py pins the set)
+_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf")
 
 
 class NMF:
@@ -76,6 +79,9 @@ class NMF:
         solvers); parameters from a ``param_file`` are applied first and
         overridden by explicit kwargs.
         """
+        if method not in _METHODS:
+            raise Exception("Method not known. Choose one from: "
+                            + " ".join(_METHODS))
         params = {**self.method_params, **method_params}
 
         if method == "mur":
@@ -131,14 +137,12 @@ class NMF:
             from .solvers import hals as _hals
 
             self.results = _hals(self.data, self.factors, **params)
-        elif method == "semi_nmf":
-            # beyond-reference: mixed-sign data, W free / H >= 0
+        else:
+            # validated above, so this branch is semi_nmf
+            # (beyond-reference: mixed-sign data, W free / H >= 0)
             from .solvers import semi_nmf as _semi_nmf
 
             self.results = _semi_nmf(self.data, self.factors, **params)
-        else:
-            raise Exception("Method not known. Choose one from: "
-                            "mur anls admm ao_admm hals semi_nmf")
 
         print("Factorization done.")
         if saving:

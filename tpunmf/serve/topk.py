@@ -216,6 +216,11 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
             vals, idx,
             p_vals.astype(vals.dtype),
             (p_idx + start).astype(jnp.int32), k)
+    # fewer than k valid items overall (heavy exclusion / ragged-tail
+    # padding): -inf-scored candidates carry real panel indices that the
+    # tie-broken merge can rank above the -1 sentinels — scrub them so
+    # excluded or padded item ids never surface in the result
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
     return vals, idx
 
 

@@ -132,7 +132,10 @@ def mur_beta(
     Kwargs mirror :func:`tpunmf.solvers.mur`.  Itakura-Saito (and any
     beta < 1) requires strictly positive reconstructions; data zeros are
     fine (masked in the objective) but all-zero rows/columns should be
-    filtered upstream.
+    filtered upstream.  Generated (NNDSVD) inits are nudged to strictly
+    positive automatically when beta < 1; an explicit ``w_init/h_init``
+    whose reconstruction has zero cells is rejected up front (negative
+    powers of those cells would NaN the very first update).
     """
     x = jnp.asarray(x)
     beta = float(beta)
@@ -150,6 +153,12 @@ def mur_beta(
     if w_init is not None:
         w = jnp.asarray(w_init, dtype=x.dtype)
         h = jnp.asarray(h_init, dtype=x.dtype)
+        if beta < 1.0 and float(jnp.min(w @ h)) <= 0.0:
+            raise ValueError(
+                "beta < 1 needs a strictly positive init reconstruction: "
+                "min(w_init @ h_init) <= 0 would raise zero cells to a "
+                "negative power and NaN the run. Nudge the inits to a "
+                "small positive floor (e.g. jnp.maximum(w, 1e-6)).")
     elif nndsvd_init[0]:
         w, h = nndsvd(x, k, variant=nndsvd_init[1], key=key)
         if beta < 1.0:

@@ -77,11 +77,12 @@ def _hals_sweep_h(h, wtx, wtw, lam, unroll=1):
 @partial(
     jax.jit,
     static_argnames=("min_iter", "max_iter", "inner_sweeps", "objective",
-                     "verbose", "sweep_unroll"),
+                     "verbose", "sweep_unroll", "use_pallas"),
 )
 def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
                 lambda_h, *, min_iter: int, max_iter: int, inner_sweeps: int,
-                objective: str, verbose: bool, sweep_unroll: int = 1):
+                objective: str, verbose: bool, sweep_unroll: int = 1,
+                use_pallas: bool = False):
     def step(inner, i):
         w, h = inner
         # --- W half: one m*n*k GEMM + k x k Gram, then cheap sweeps
@@ -101,7 +102,7 @@ def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
         if objective == "gram":
             obj = eu_objective_gram(xsq, wtx, wtw, h)
         else:
-            obj = eu_residual_obj(x, w, h, use_pallas=False)
+            obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
         return (w, h), obj
 
     return while_block(step, carry, stop_i, tol1, tol2, min_iter=min_iter,
@@ -178,14 +179,17 @@ def hals(
         xsq = jnp.sum(xf * xf)
     else:
         xsq = jnp.zeros((), dtype=x.dtype)  # unused by the exact objective
-    obj0 = eu_residual_obj(x, w, h, use_pallas=False)
+    from . import tpu_defaults
+
+    use_pallas = tpu_defaults.hals_use_pallas(jax.default_backend())
+    obj0 = eu_residual_obj(x, w, h, use_pallas=use_pallas)
     carry = init_carry(obj0, max_iter, (w, h))
 
     run = lambda c, stop: _hals_block(
         x, xsq, c, stop, tol1, tol2, lambda_w, lambda_h, min_iter=min_iter,
         max_iter=max_iter, inner_sweeps=inner_sweeps, objective=objective,
         sweep_unroll=sweep_unroll,
-        verbose=verbose,
+        verbose=verbose, use_pallas=use_pallas,
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,

@@ -50,7 +50,10 @@ def _online_step(w, a, b_stat, x_t, rho, *, sweeps: int = 2,
 
     w = jax.lax.fori_loop(
         0, sweeps, lambda t, w: _hals_sweep_w(w, b_stat, a, 0.0, unroll=8), w)
-    # per-batch EU objective of the fresh encode (diagnostic)
+    # per-batch EU diagnostic: post-sweep W against the PRE-sweep encode
+    # h_t — a mixed-iterate value (re-encoding against the fresh W would
+    # cost a second NNLS per batch), so it can tick up even on a
+    # stationary stream; see the track_objective docstring
     d = x_t - w @ h_t
     return w, a, b_stat, h_t, 0.5 * jnp.sum(d * d)
 
@@ -69,7 +72,11 @@ class OnlineNMF:
       track_objective: append each batch's EU objective to
         ``obj_history``.  Fetching that scalar forces a host<->device
         sync per minibatch; set False to keep the stream fully async
-        (state stays on device between calls either way).
+        (state stays on device between calls either way).  The value is
+        a MIXED-ITERATE diagnostic — post-sweep W against the pre-sweep
+        encode H_t — so it can increase even on a stationary stream;
+        for a consistent objective re-encode with ``transform`` after
+        the fact.
     """
 
     def __init__(self, m: int, k: int, *, rho: float = 1.0,

@@ -31,6 +31,12 @@ def mur_use_pallas(backend: str) -> bool:
     return backend == "tpu"
 
 
+def hals_use_pallas(backend: str) -> bool:
+    """HALS has the MUR loop shape (while_block + fori sweeps, no nested
+    whiles), so the fused Pallas EU objective is safe on TPU."""
+    return backend == "tpu"
+
+
 def anls_masked_solver(backend: str) -> str:
     """GEMM-shaped CG vs batched Cholesky for the masked NNLS solves.
 
