@@ -78,7 +78,24 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--devices", default=None,
                     help="comma-separated device counts (default: 1..all pow2)")
+    ap.add_argument("--emulate", type=int, default=0, metavar="N",
+                    help="force an N-virtual-device CPU platform (for "
+                         "environments whose default backend is a single "
+                         "TPU); must be the first jax-touching action")
+    ap.add_argument("--json-out", default=None,
+                    help="write the full artifact (measurements + the "
+                         "analytic collective-bytes model) to this path")
     args = ap.parse_args()
+
+    if args.emulate:
+        # before any jax op: XLA_FLAGS via env + platform via config (env
+        # alone is too late here — jax is pre-imported by sitecustomize)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count="
+                        f"{args.emulate}").strip()
+        jax.config.update("jax_platforms", "cpu")
 
     total = jax.device_count()
     if args.devices:
@@ -99,6 +116,30 @@ def main():
         })
         print(json.dumps(results[-1]))
     print(json.dumps({"summary": results}))
+
+    if args.json_out:
+        from collective_model import baseline_scenarios, schedule_table
+
+        artifact = {
+            "emulated": bool(args.emulate),
+            "platform": jax.default_backend(),
+            "shape": {"m": args.m, "n_per_dev": args.n_per_dev,
+                      "k": args.k, "iters": args.iters},
+            "measured": results,
+            "note": (
+                "Emulated-CPU measurements validate the sharding path "
+                "and harness only (no ICI/DCN exists here); the "
+                "hardware claim rests on the analytic collective-bytes "
+                "model below (benchmarks/collective_model.py) — exact "
+                "per-iteration psum/all_gather/ppermute volumes per "
+                "schedule plus roofline efficiency bounds with and "
+                "without overlap credit."),
+            "analytic_schedule_bytes": schedule_table(),
+            "analytic_scenarios": baseline_scenarios(),
+        }
+        with open(args.json_out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"artifact written to {args.json_out}")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,30 @@ def test_bench_small_shapes():
     assert np.isfinite(r["final_obj"])
 
 
+def test_bandwidth_tracker_interleaved_best(tmp_path, monkeypatch):
+    """The ceiling is the best PROBE across interleaved samples plus the
+    persisted best-ever — never derived from the solver."""
+    import json
+
+    import bench
+
+    store = tmp_path / "bw_probe_best.json"
+    store.write_text(json.dumps({"bw_best": 3.21e11}))
+    monkeypatch.setattr(bench, "_PROBE_STORE", str(store))
+    tr = bench.BandwidthTracker(mb=1, gemm_shape=(64, 64, 8))
+    assert tr.best_prior == 3.21e11
+    tr.sample(iters=2)
+    tr.sample(iters=2)
+    assert len(tr.samples_stream) == 2 and len(tr.samples_gemm) == 2
+    assert tr.bw_ceiling >= max(tr.bw_probe_best, 3.21e11)
+    tr.save()
+    saved = json.loads(store.read_text())
+    assert saved["bw_best"] == tr.bw_ceiling  # ratchets up only
+    s = tr.summary()
+    assert len(s["stream_rw_samples"]) == 2
+    assert s["used"] >= s["best_this_run"]
+
+
 def test_bench_solver_rates_small():
     import bench
 
