@@ -3,8 +3,11 @@
 Headline: the flagship single-pass fused Euclidean-MUR iteration (ONE
 Pallas pass over X per iteration — W-numerator GEMM, in-register W
 update, H-numerator and W-Gram accumulation all in the same strip sweep;
-ops/mur_fused.mur_iteration_eu) at 8192 x 8192 rank 128 float32, driven
-through the production solver loop (_mur_block, gram objective).
+ops/mur_fused.mur_iteration_eu) at 8192 x 8192 rank 128 with bfloat16 X
+(the fastest production mode: X is the dominant HBM term at rank ~128
+and bf16 halves its bytes; factors stay f32), driven through the
+production solver loop (_mur_block, gram objective).  The f32-X run is
+reported alongside in ``extra``.
 
 Accounting.  ``vs_baseline`` is the fraction of the ROOFLINE iteration
 time achieved, divided by the BASELINE.json 0.70 target:
@@ -12,16 +15,22 @@ time achieved, divided by the BASELINE.json 0.70 target:
     t_roofline = max(bytes_iter / BW, flops_iter / MXU_peak)
 
 At rank 128 the iteration is memory-bound, so BW is the binding term.
-The tunneled chip in this environment demonstrably delivers only a
+The tunneled chip in this environment delivers only a fluctuating
 fraction of the v5e nominal 819 GB/s, so the bench MEASURES the
-deliverable bandwidth with two neutral XLA probes (a streaming
-read+write pass and a read-dominated GEMM) and uses the BEST probe
-result as BW — maximizing the assumed ceiling and therefore minimizing
-the reported fraction (conservative).  The nominal-spec fraction is also
-reported in ``extra`` for transparency.  bytes_iter counts only the
-algorithmically required traffic (X read once, W and H read+written,
-WtX written+read); implementation-side temporaries are excluded
-(also conservative).
+deliverable bandwidth with neutral XLA probes (a streaming read+write
+pass and a read-dominated GEMM), INTERLEAVED across the bench window
+(before / between / after the solver benches) to sample the
+fluctuation, and keeps a per-environment best-ever probe on disk
+(benchmarks/bw_probe_best.json) so one slow window cannot deflate the
+ceiling.  The ceiling is the best PROBE bandwidth — never the solver's
+own implied bandwidth (that would cap the fraction at 1.0 by
+construction).  If the solver demonstrably moves bytes faster than any
+probe ever has, the probes are understating the deliverable ceiling:
+the bench flags ``probes_undershoot_solver`` and falls back to the
+NOMINAL-spec fraction as the headline (strictly conservative).
+bytes_iter counts only the algorithmically required traffic (X read
+once, W and H read+written, WtX written+read); implementation-side
+temporaries are excluded (also conservative).
 
 ``extra.solver_rates`` records warm iterations/sec for MUR-KL, HALS,
 ANLS, ADMM and AO-ADMM on a 2048x1024 rank-64 problem — the
@@ -37,10 +46,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+_PROBE_STORE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "bw_probe_best.json")
 
 # (bf16 MXU peak FLOP/s, HBM bytes/s) by device_kind substring
 _CHIP = {
@@ -81,35 +94,100 @@ def _refraction(r, bw):
     }
 
 
-def measure_bandwidth(iters=30) -> dict:
-    """Deliverable-HBM-bandwidth probes (neutral XLA, no Pallas)."""
-    mb = 128
-    nelem = mb * 1024 * 1024 // 4
-    buf = jnp.ones((nelem,), jnp.float32)
+class BandwidthTracker:
+    """Interleaved deliverable-HBM-bandwidth probing.
 
-    @jax.jit
-    def stream(x, it):
-        def body(t, c):
-            return c * 1.0000001
-        return jax.lax.fori_loop(0, it, body, x)[0]
+    ``sample()`` runs the two neutral XLA probes (streaming read+write,
+    read-dominated GEMM) and folds the results into a running best.  The
+    bench calls it several times across its window so a transient slow
+    patch of the shared tunnel cannot set the ceiling.  The best probe
+    ever observed in this environment is persisted to
+    benchmarks/bw_probe_best.json and loaded on start — the ceiling only
+    ratchets up as better evidence of deliverable bandwidth appears.
+    The ceiling is ALWAYS a probe measurement, never the solver itself.
+    """
 
-    t = _timeit(lambda b: stream(b, iters), buf) / iters
-    bw_stream = 2 * mb * 1024 * 1024 / t  # read + write per pass
+    def __init__(self, persist: bool = True, mb: int = 128,
+                 gemm_shape=(8192, 8192, 128)):
+        self.persist = persist
+        self.samples_stream: list[float] = []
+        self.samples_gemm: list[float] = []
+        self.best_prior = 0.0
+        if persist and os.path.exists(_PROBE_STORE):
+            try:
+                with open(_PROBE_STORE) as f:
+                    self.best_prior = float(json.load(f)["bw_best"])
+            except Exception:
+                self.best_prior = 0.0
+        self._build(mb, gemm_shape)
 
-    m, n, k = 8192, 8192, 128
-    x = jnp.ones((m, n), jnp.float32)
-    h = jnp.ones((k, n), jnp.float32)
+    def _build(self, mb, gemm_shape):
+        self._mb = mb
+        nelem = mb * 1024 * 1024 // 4
+        self._buf = jnp.ones((nelem,), jnp.float32)
 
-    @jax.jit
-    def gemm_read(x, h, it):
-        def body(t, c):
-            return 0.5 * c + 0.5 * (x @ (h + t).T)
-        return jax.lax.fori_loop(0, it, body, jnp.zeros((m, k)))[0, 0]
+        @jax.jit
+        def stream(x, it):
+            def body(t, c):
+                return c * 1.0000001
+            return jax.lax.fori_loop(0, it, body, x)[0]
 
-    t = _timeit(lambda a, b: gemm_read(a, b, 10), x, h) / 10
-    bw_gemm = (m * n * 4) / t  # read-dominated
-    return {"bw_stream": bw_stream, "bw_gemm_read": bw_gemm,
-            "bw_measured": max(bw_stream, bw_gemm)}
+        self._stream = stream
+        m, n, k = gemm_shape
+        self._gemm_shape = (m, n, k)
+        self._x = jnp.ones((m, n), jnp.float32)
+        self._h = jnp.ones((k, n), jnp.float32)
+
+        @jax.jit
+        def gemm_read(x, h, it):
+            def body(t, c):
+                return 0.5 * c + 0.5 * (x @ (h + t).T)
+            return jax.lax.fori_loop(0, it, body, jnp.zeros((m, k)))[0, 0]
+
+        self._gemm = gemm_read
+
+    def sample(self, iters=30):
+        t = _timeit(lambda b: self._stream(b, iters), self._buf) / iters
+        self.samples_stream.append(2 * self._mb * 1024 * 1024 / t)
+        m, n, _ = self._gemm_shape
+        t = _timeit(lambda a, b: self._gemm(a, b, 10), self._x, self._h) / 10
+        self.samples_gemm.append(m * n * 4 / t)
+
+    @property
+    def bw_probe_best(self) -> float:
+        """Best probe this run (NOT including the persisted prior)."""
+        return max(self.samples_stream + self.samples_gemm, default=0.0)
+
+    @property
+    def bw_ceiling(self) -> float:
+        """Best probe evidence ever for this environment."""
+        return max(self.bw_probe_best, self.best_prior)
+
+    def save(self):
+        if not self.persist:
+            return
+        try:
+            os.makedirs(os.path.dirname(_PROBE_STORE), exist_ok=True)
+            with open(_PROBE_STORE, "w") as f:
+                json.dump({
+                    "bw_best": self.bw_ceiling,
+                    "device": jax.devices()[0].device_kind,
+                    "note": "best neutral-XLA HBM probe ever observed in "
+                            "this environment; bench.py ratchets it up",
+                }, f)
+        except Exception:
+            pass  # persistence is best-effort; never fail the bench
+
+    def summary(self) -> dict:
+        return {
+            "stream_rw_samples": [round(s / 1e9, 1)
+                                  for s in self.samples_stream],
+            "gemm_read_samples": [round(s / 1e9, 1)
+                                  for s in self.samples_gemm],
+            "best_this_run": round(self.bw_probe_best / 1e9, 1),
+            "best_prior": round(self.best_prior / 1e9, 1),
+            "used": round(self.bw_ceiling / 1e9, 1),
+        }
 
 
 def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
@@ -249,60 +327,79 @@ def main():
         enable_compilation_cache()
     except Exception:
         pass
-    bw = measure_bandwidth()
-    r = bench_mur_eu(bw_measured=bw["bw_measured"])
-    r16 = bench_mur_eu(data_dtype=jnp.bfloat16, bw_measured=bw["bw_measured"])
-    # the probes on this shared tunnel fluctuate run-to-run; the solver
-    # iteration itself is a demonstration of deliverable bandwidth, so the
-    # ceiling is the BEST bandwidth any measurement (probe or iteration)
-    # achieved — this caps roofline_fraction at 1.0 by construction and
-    # can only lower the reported number
+    # interleave the bandwidth probes across the whole bench window so a
+    # transient slow patch of the shared tunnel can't set the ceiling
+    tracker = BandwidthTracker()
+    tracker.sample()
+    r16 = bench_mur_eu(data_dtype=jnp.bfloat16,
+                       bw_measured=tracker.bw_ceiling)  # headline mode
+    tracker.sample()
+    r = bench_mur_eu(bw_measured=tracker.bw_ceiling)    # f32 reference mode
+    tracker.sample()
+    tracker.save()
+
+    bw_ceiling = tracker.bw_ceiling
+    r = {**r, **_refraction(r, bw_ceiling)}
+    r16 = {**r16, **_refraction(r16, bw_ceiling)}
+
+    # the ceiling is NEVER the solver itself. If the solver moved bytes
+    # faster than any probe ever has, the probes understate the
+    # deliverable ceiling: flag it and fall back to the nominal-spec
+    # fraction as the headline (strictly conservative).
     achieved = max(r["achieved_bw"], r16["achieved_bw"])
-    if achieved > bw["bw_measured"]:
-        bw["bw_measured"] = achieved
-        bw["ceiling_source"] = "solver iteration (probes ran slower)"
-        r = {**r, **_refraction(r, bw["bw_measured"])}
-        r16 = {**r16, **_refraction(r16, bw["bw_measured"])}
+    undershoot = achieved > bw_ceiling
+    if undershoot:
+        headline_fraction = r16["roofline_fraction_nominal"]
+        ceiling_source = "nominal spec (probes undershot the solver)"
     else:
-        bw["ceiling_source"] = "xla probe"
+        headline_fraction = r16["roofline_fraction"]
+        ceiling_source = "xla probe"
+
     try:
         rates = bench_solver_rates()
     except Exception as e:  # never lose the headline to a secondary bench
         rates = {"error": str(e)[:200]}
+    tracker.sample()
+    tracker.save()
+    probe = tracker.summary()
     print(json.dumps({
-        "metric": "mur_eu_rank128_gflops_per_chip",
-        "value": round(r["gflops_per_chip"], 1),
+        "metric": "mur_eu_rank128_bf16x_gflops_per_chip",
+        "value": round(r16["gflops_per_chip"], 1),
         "unit": "GFLOP/s",
-        "vs_baseline": round(r["roofline_fraction"] / 0.70, 3),
+        "vs_baseline": round(headline_fraction / 0.70, 3),
         "extra": {
-            "iters_per_sec": round(r["iters_per_sec"], 2),
-            "t_iter_ms": round(r["t_iter_ms"], 4),
-            "t_roofline_ms": round(r["t_roofline_ms"], 4),
-            "roofline_fraction_measured_bw": round(r["roofline_fraction"], 3),
+            "iters_per_sec": round(r16["iters_per_sec"], 2),
+            "t_iter_ms": round(r16["t_iter_ms"], 4),
+            "t_roofline_ms": round(r16["t_roofline_ms"], 4),
+            "roofline_fraction_measured_bw": round(
+                r16["roofline_fraction"], 3),
             "roofline_fraction_nominal_bw": round(
-                r["roofline_fraction_nominal"], 3),
+                r16["roofline_fraction_nominal"], 3),
+            "probes_undershoot_solver": undershoot,
             "bw_probe_gbps": {
-                "stream_rw": round(bw["bw_stream"] / 1e9, 1),
-                "gemm_read": round(bw["bw_gemm_read"] / 1e9, 1),
-                "used": round(bw["bw_measured"] / 1e9, 1),
-                "ceiling_source": bw["ceiling_source"],
-                "nominal": round(r["hbm_nominal"] / 1e9, 1),
+                **probe,
+                "ceiling_source": ceiling_source,
+                "nominal": round(r16["hbm_nominal"] / 1e9, 1),
             },
-            "shape": [r["m"], r["n"], r["k"]],
-            "single_pass_kernel": r["single_pass"],
-            "bf16_data_mode": {
-                "iters_per_sec": round(r16["iters_per_sec"], 2),
-                "gflops_per_chip": round(r16["gflops_per_chip"], 1),
+            "shape": [r16["m"], r16["n"], r16["k"]],
+            "single_pass_kernel": r16["single_pass"],
+            "f32_data_mode": {
+                "iters_per_sec": round(r["iters_per_sec"], 2),
+                "gflops_per_chip": round(r["gflops_per_chip"], 1),
                 "roofline_fraction_measured_bw": round(
-                    r16["roofline_fraction"], 3),
+                    r["roofline_fraction"], 3),
+                "roofline_fraction_nominal_bw": round(
+                    r["roofline_fraction_nominal"], 3),
             },
             "solver_rates_it_per_s": rates,
-            "device": r["device"],
-            "note": "vs_baseline = fraction-of-roofline / 0.70, roofline "
-                    "computed against the bench's own measured deliverable "
-                    "HBM bandwidth (best neutral-XLA probe; nominal-spec "
-                    "fraction also reported).  Memory-bound at rank 128: "
-                    "bytes = X once + factor r/w only.",
+            "device": r16["device"],
+            "note": "Headline = bf16-X single-pass EU iteration (fastest "
+                    "production mode; bf16-bytes roofline accounting). "
+                    "vs_baseline = fraction-of-roofline / 0.70; the "
+                    "ceiling is the best interleaved neutral-XLA probe "
+                    "(persisted best-ever for this environment), never "
+                    "the solver itself. Memory-bound at rank 128: bytes "
+                    "= X once + factor r/w only.",
         },
     }))
 
