@@ -275,3 +275,87 @@ def test_iter_kl_tileable_selection():
     sel_narrow = iter_kl_tileable(narrow, k)
     assert sel_narrow is not None and sel_narrow[1] is None
     assert iter_kl_tileable(wide, k) is None
+
+
+class TestHalsSweepKernel:
+    """Pallas Gauss-Seidel sweep vs the solver's XLA fori chain."""
+
+    def _problem(self, m=48, n=40, k=16, seed=11):
+        rng = np.random.default_rng(seed)
+        x = (rng.random((m, k)) @ rng.random((k, n)) + 0.05).astype(np.float32)
+        w = rng.random((m, k)).astype(np.float32) + 0.1
+        h = rng.random((k, n)).astype(np.float32) + 0.1
+        return jnp.asarray(x), jnp.asarray(w), jnp.asarray(h)
+
+    @pytest.mark.parametrize("nsweeps", [1, 2])
+    @pytest.mark.parametrize("lam", [0.0, 0.3])
+    def test_w_sweep_matches_xla(self, nsweeps, lam):
+        from tpunmf.ops.hals_sweep import gs_sweep
+        from tpunmf.solvers.hals import _hals_sweep_w
+
+        x, w, h = self._problem()
+        xht = (x @ h.T).astype(jnp.float32)
+        hht = (h @ h.T).astype(jnp.float32)
+        want = w
+        for _ in range(nsweeps):
+            want = _hals_sweep_w(want, xht, hht, lam)
+        got = gs_sweep(xht.T, hht, w.T, lam=lam, nsweeps=nsweeps, bm=16,
+                       interpret=True).T
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_h_sweep_matches_xla(self):
+        from tpunmf.ops.hals_sweep import gs_sweep
+        from tpunmf.solvers.hals import _hals_sweep_h
+
+        x, w, h = self._problem()
+        wtx = (w.T @ x).astype(jnp.float32)
+        wtw = (w.T @ w).astype(jnp.float32)
+        want = _hals_sweep_h(h, wtx, wtw, 0.0)
+        got = gs_sweep(wtx, wtw, h, lam=0.0, nsweeps=1, bm=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_tileable_gate(self):
+        from tpunmf.ops.hals_sweep import gs_sweep_tileable
+
+        assert gs_sweep_tileable(128, 8192) == 2048
+        assert gs_sweep_tileable(12, 1024) is None    # k % 8 != 0
+        assert gs_sweep_tileable(512, 8192) is None   # k too large
+        assert gs_sweep_tileable(128, 100) is None    # no dividing strip
+
+    def test_full_hals_block_via_kernel_matches(self):
+        """Whole _hals_block with the kernel path == the XLA path."""
+        from tpunmf.solvers.common import init_carry
+        from tpunmf.solvers.hals import _hals_block
+        from tpunmf.ops.fused import eu_residual_obj
+
+        x, w, h = self._problem(m=64, n=32, k=8)
+        obj0 = eu_residual_obj(x, w, h)
+        kw = dict(min_iter=4, max_iter=4, inner_sweeps=2, objective="exact",
+                  verbose=False)
+        ca = init_carry(obj0, 4, (w, h))
+        ref = _hals_block(x, jnp.sum(x * x), ca, 4, 0.0, 0.0, 0.1, 0.2, **kw)
+        cb = init_carry(obj0, 4, (w, h))
+        # interpret-mode Pallas inside the block: wrap gs_sweep
+        # (tpunmf.solvers.hals the ATTRIBUTE is the function — fetch the
+        # module through importlib)
+        import importlib
+
+        hals_mod = importlib.import_module("tpunmf.solvers.hals")
+        import tpunmf.ops.hals_sweep as hs
+        orig = hals_mod.gs_sweep
+        hals_mod.gs_sweep = lambda *a, **k2: hs.gs_sweep(
+            *a, **{**k2, "interpret": True})
+        try:
+            got = _hals_block(x, jnp.sum(x * x), cb, 4, 0.0, 0.0, 0.1, 0.2,
+                              sweep_bm_w=16, sweep_bm_h=8, **kw)
+        finally:
+            hals_mod.gs_sweep = orig
+        np.testing.assert_allclose(np.asarray(got.inner[0]),
+                                   np.asarray(ref.inner[0]), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.inner[1]),
+                                   np.asarray(ref.inner[1]), rtol=1e-4,
+                                   atol=1e-4)
+        np.testing.assert_allclose(float(got.obj), float(ref.obj), rtol=1e-5)

@@ -39,6 +39,7 @@ from ..core.losses import eu_objective_gram
 from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj
+from ..ops.hals_sweep import gs_sweep, gs_sweep_tileable
 from .common import LoopCarry, finalize_history, init_carry, run_loop, while_block
 
 _EPS = 1e-16
@@ -77,28 +78,44 @@ def _hals_sweep_h(h, wtx, wtw, lam, unroll=1):
 @partial(
     jax.jit,
     static_argnames=("min_iter", "max_iter", "inner_sweeps", "objective",
-                     "verbose", "sweep_unroll", "use_pallas"),
+                     "verbose", "sweep_unroll", "use_pallas", "sweep_bm_w",
+                     "sweep_bm_h"),
 )
 def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
                 lambda_h, *, min_iter: int, max_iter: int, inner_sweeps: int,
                 objective: str, verbose: bool, sweep_unroll: int = 1,
-                use_pallas: bool = False):
+                use_pallas: bool = False, sweep_bm_w=None, sweep_bm_h=None):
     def step(inner, i):
         w, h = inner
         # --- W half: one m*n*k GEMM + k x k Gram, then cheap sweeps
         xht = x @ h.T
         hht = h @ h.T
-        w = jax.lax.fori_loop(
-            0, inner_sweeps,
-            lambda t, w: _hals_sweep_w(w, xht, hht, lambda_w, sweep_unroll), w
-        )
+        if sweep_bm_w is not None:
+            # whole chain in one Pallas kernel (transposed frame): the
+            # k-step Gauss-Seidel sweep is row-parallel over m, so the
+            # latency-bound 4k-dispatch fori chain collapses to one
+            # grid-parallel kernel launch (ops/hals_sweep.py)
+            wt = gs_sweep(xht.T, hht, w.T, lam=lambda_w,
+                          nsweeps=inner_sweeps, bm=sweep_bm_w)
+            w = wt.T
+        else:
+            w = jax.lax.fori_loop(
+                0, inner_sweeps,
+                lambda t, w: _hals_sweep_w(w, xht, hht, lambda_w,
+                                           sweep_unroll), w
+            )
         # --- H half (mirror)
         wtx = w.T @ x
         wtw = w.T @ w
-        h = jax.lax.fori_loop(
-            0, inner_sweeps,
-            lambda t, h: _hals_sweep_h(h, wtx, wtw, lambda_h, sweep_unroll), h
-        )
+        if sweep_bm_h is not None:
+            h = gs_sweep(wtx, wtw, h, lam=lambda_h,
+                         nsweeps=inner_sweeps, bm=sweep_bm_h)
+        else:
+            h = jax.lax.fori_loop(
+                0, inner_sweeps,
+                lambda t, h: _hals_sweep_h(h, wtx, wtw, lambda_h,
+                                           sweep_unroll), h
+            )
         if objective == "gram":
             obj = eu_objective_gram(xsq, wtx, wtw, h)
         else:
@@ -182,6 +199,11 @@ def hals(
     from . import tpu_defaults
 
     use_pallas = tpu_defaults.hals_use_pallas(jax.default_backend())
+    sweep_bm_w = sweep_bm_h = None
+    if (tpu_defaults.hals_use_sweep_kernel(jax.default_backend())
+            and x.dtype == jnp.float32):
+        sweep_bm_w = gs_sweep_tileable(k, x.shape[0])
+        sweep_bm_h = gs_sweep_tileable(k, x.shape[1])
     obj0 = eu_residual_obj(x, w, h, use_pallas=use_pallas)
     carry = init_carry(obj0, max_iter, (w, h))
 
@@ -190,6 +212,7 @@ def hals(
         max_iter=max_iter, inner_sweeps=inner_sweeps, objective=objective,
         sweep_unroll=sweep_unroll,
         verbose=verbose, use_pallas=use_pallas,
+        sweep_bm_w=sweep_bm_w, sweep_bm_h=sweep_bm_h,
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,

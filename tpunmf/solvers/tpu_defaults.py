@@ -37,6 +37,13 @@ def hals_use_pallas(backend: str) -> bool:
     return backend == "tpu"
 
 
+def hals_use_sweep_kernel(backend: str) -> bool:
+    """The Gauss-Seidel sweep chain as one Pallas kernel (grid-parallel
+    over the non-rank axis) instead of the latency-bound fori chain of
+    XLA dispatches — the round-2 HALS headline-scale bottleneck."""
+    return backend == "tpu"
+
+
 def anls_masked_solver(backend: str) -> str:
     """GEMM-shaped CG vs batched Cholesky for the masked NNLS solves.
 
