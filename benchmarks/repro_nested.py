@@ -125,7 +125,42 @@ def case_c():
     print("C:", float(run(g, b0)))
 
 
-CASES = {"A": case_a, "B": case_b, "C": case_c}
+def case_c2():
+    """Case C with the mid while restructured to the masked fori of
+    solvers/common.inner_loop — the AO-ADMM round-3 shape.  If this
+    compiles and runs quickly, tpu_defaults.ao_admm_spd_solver can take
+    CG on TPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpunmf.core.linalg import spd_solve
+    from tpunmf.solvers.common import inner_loop
+
+    k, p = 32, 256
+    g = jax.random.uniform(jax.random.PRNGKey(0), (k, k))
+    g = g @ g.T + 2.0 * jnp.eye(k)
+    b0 = jax.random.uniform(jax.random.PRNGKey(1), (k, p))
+
+    @jax.jit
+    def run(g, b0):
+        def outer(c):
+            i, b = c
+
+            def mid(b):
+                x = spd_solve(g, b, method="cg")  # fori_loop inside
+                b = b * 0.5 + x * 0.5
+                return b, jnp.linalg.norm(x - b) < 1e-12
+
+            b = inner_loop(mid, b, 3, "fori_masked")
+            return i + 1, b
+
+        _, b = jax.lax.while_loop(lambda c: c[0] < 4, outer, (0, b0))
+        return jnp.sum(b)
+
+    print("C2:", float(run(g, b0)))
+
+
+CASES = {"A": case_a, "B": case_b, "C": case_c, "C2": case_c2}
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--inline":

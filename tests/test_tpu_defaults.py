@@ -32,8 +32,11 @@ def test_anls_defaults_fence_case_a_and_b():
 
 
 def test_ao_admm_defaults_fence_case_c():
-    # case C: no CG inside the 4-deep nest
-    assert td.ao_admm_spd_solver("tpu") == "chol"
+    # case C restructured: masked-fori inner loop on TPU (identical
+    # iterates, one less data-dependent nesting level)
+    assert td.ao_admm_inner_loop("tpu") == "fori_masked"
+    assert td.ao_admm_inner_loop("cpu") == "while"
+    assert td.ao_admm_spd_solver("tpu") == "chol"  # flips after C2 TPU test
     assert td.ao_admm_spd_solver("cpu") == "chol"
     # case A re-tested fixed in round 2: Pallas objective re-enabled
     assert td.ao_admm_use_pallas("tpu") is True
@@ -49,4 +52,4 @@ def test_admm_uses_cg_on_tpu():
 def test_repro_script_lists_all_cases():
     import benchmarks.repro_nested as rn
 
-    assert set(rn.CASES) == {"A", "B", "C"}
+    assert set(rn.CASES) == {"A", "B", "C", "C2"}

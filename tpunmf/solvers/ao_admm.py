@@ -32,6 +32,7 @@ from .common import (
     LoopCarry,
     finalize_history,
     init_carry,
+    inner_loop,
     run_loop,
     while_block,
 )
@@ -91,46 +92,37 @@ def _terminated(h, h_prev, h_aux, dual):
 
 
 def _admm_ls_update(y, w, h, dual, k, prox_type, admm_iter, lambda_,
-                    spd_solver="chol", upper_bound=1.0):
+                    spd_solver="chol", upper_bound=1.0,
+                    loop_style="while"):
     """Least-squares inner ADMM (nmf/ao_admm.py:46-68), jit-friendly."""
     g = w.T @ w
     rho = jnp.trace(g) / k
     cho = _chol(g, rho) if spd_solver == "chol" else None
     wty = w.T @ y
 
-    def cond(c):
-        j, _, _, done = c
-        return jnp.logical_and(j < admm_iter, jnp.logical_not(done))
-
-    def body(c):
-        j, h, dual, _ = c
+    def body(state):
+        h, dual = state
         h_aux = _subproblem_solve(g, rho, cho, wty + rho * (h + dual), spd_solver)
         h_prev = h
         h = _inner_prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
                         upper_bound=upper_bound)
         dual = dual + h - h_aux
-        return (j + 1, h, dual, _terminated(h, h_prev, h_aux, dual))
+        return (h, dual), _terminated(h, h_prev, h_aux, dual)
 
-    _, h, dual, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), h, dual, jnp.asarray(False))
-    )
+    h, dual = inner_loop(body, (h, dual), admm_iter, loop_style)
     return h, dual
 
 
 def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
-                    lambda_, spd_solver="chol", upper_bound=1.0):
+                    lambda_, spd_solver="chol", upper_bound=1.0,
+                    loop_style="while"):
     """KL inner ADMM with data-term split (nmf/ao_admm.py:71-101)."""
     g = w.T @ w
     rho = jnp.trace(g) / k
     cho = _chol(g, rho) if spd_solver == "chol" else None
 
-    def cond(c):
-        j = c[0]
-        done = c[-1]
-        return jnp.logical_and(j < admm_iter, jnp.logical_not(done))
-
-    def body(c):
-        j, h, dual_h, v_aux, dual_v, _ = c
+    def body(state):
+        h, dual_h, v_aux, dual_v = state
         h_aux = _subproblem_solve(
             g, rho, cho, w.T @ (v_aux + dual_v) + rho * (h + dual_h), spd_solver
         )
@@ -144,13 +136,11 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
 
         dual_h = dual_h + h - h_aux
         dual_v = dual_v + v_aux - wh_aux
-        return (j + 1, h, dual_h, v_aux, dual_v,
+        return ((h, dual_h, v_aux, dual_v),
                 _terminated(h, h_prev, h_aux, dual_h))
 
-    _, h, dual_h, v_aux, dual_v, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32), h, dual_h, v_aux, dual_v, jnp.asarray(False)),
-    )
+    h, dual_h, v_aux, dual_v = inner_loop(
+        body, (h, dual_h, v_aux, dual_v), admm_iter, loop_style)
     return h, dual_h, v_aux, dual_v
 
 
@@ -169,6 +159,7 @@ def _admm_kl_update(v, v_aux, dual_v, w, h, dual_h, k, prox_type, admm_iter,
         "admm_iter",
         "use_pallas",
         "verbose",
+        "loop_style",
     ),
 )
 def _ao_admm_block(
@@ -195,6 +186,7 @@ def _ao_admm_block(
     admm_iter: int,
     use_pallas: bool,
     verbose: bool,
+    loop_style: str = "while",
 ):
     adaptive = rho_mode == "adaptive"
 
@@ -204,10 +196,10 @@ def _ao_admm_block(
 
             return admm_ls_update_adaptive(
                 y, w, h, dual, k, prox_h, admm_iter, lambda_h, spd_solver,
-                tau, eta, upper_bound,
+                tau, eta, upper_bound, loop_style=loop_style,
             )
         return _admm_ls_update(y, w, h, dual, k, prox_h, admm_iter, lambda_h,
-                               spd_solver, upper_bound)
+                               spd_solver, upper_bound, loop_style=loop_style)
 
     def ls_update_w(y, hh, w, dual, ptype, lam):
         if adaptive:
@@ -215,10 +207,10 @@ def _ao_admm_block(
 
             return admm_ls_update_adaptive(
                 y, hh, w, dual, k, ptype, admm_iter, lam, spd_solver, tau,
-                eta, upper_bound,
+                eta, upper_bound, loop_style=loop_style,
             )
         return _admm_ls_update(y, hh, w, dual, k, ptype, admm_iter, lam,
-                               spd_solver, upper_bound)
+                               spd_solver, upper_bound, loop_style=loop_style)
 
     def kl_update(vv, v_aux, dual_v, w, h, dual_h, ptype, lam):
         if adaptive:
@@ -226,10 +218,11 @@ def _ao_admm_block(
 
             return admm_kl_update_adaptive(
                 vv, v_aux, dual_v, w, h, dual_h, k, ptype, admm_iter, lam,
-                spd_solver, tau, eta, upper_bound,
+                spd_solver, tau, eta, upper_bound, loop_style=loop_style,
             )
         return _admm_kl_update(vv, v_aux, dual_v, w, h, dual_h, k, ptype,
-                               admm_iter, lam, spd_solver, upper_bound)
+                               admm_iter, lam, spd_solver, upper_bound,
+                               loop_style=loop_style)
 
     def step_eu(inner, i):
         w, h, dual_w, dual_h = inner
@@ -263,6 +256,7 @@ def _ao_admm_block(
         w, w_aux, dual_w = admm_local_sparsity_update(
             v, w, w_aux, dual_w, h, k, admm_iter, lambda_w,
             upper_bound, adaptive, tau, eta, spd_solver,
+            loop_style=loop_style,
         )
         obj = eu_residual_obj(v, w, h, use_pallas=use_pallas)
         return (w, h, w_aux, dual_w, dual_h), obj
@@ -279,6 +273,7 @@ def _ao_admm_block(
         w, w_aux, dual_w = admm_local_sparsity_update(
             v, w, w_aux, dual_w, h, k, admm_iter, lambda_w,
             upper_bound, adaptive, tau, eta, spd_solver,
+            loop_style=loop_style,
         )
         _, obj = kl_ratio_and_obj(v, w, h, use_pallas=use_pallas)
         return (w, h, w_aux, dual_w, dual_h, v_aux, dual_v), obj
@@ -347,12 +342,13 @@ def ao_admm(
     # adaptive rho (the reference variant always adapts); plain-prox
     # l1inf under fixed rho keeps round-1 behavior
     local_sparsity = rho_mode == "adaptive" and reg_w[1] == "l1inf"
-    if spd_solver is None:
-        # case C workaround (solvers/tpu_defaults.py): CG in the 4-deep
-        # nest stalls TPU compilation; the once-per-outer k x k Cholesky
-        # (the reference's own structure, nmf/ao_admm.py:55) is fine
-        from .tpu_defaults import ao_admm_spd_solver
+    from .tpu_defaults import ao_admm_inner_loop, ao_admm_spd_solver
 
+    # case-C restructure (solvers/tpu_defaults.py): the masked-fori inner
+    # loop removes one data-dependent nesting level, which is what lets
+    # the TPU backend take the fast CG subproblem solver at <=3-deep
+    loop_style = ao_admm_inner_loop(jax.default_backend())
+    if spd_solver is None:
         spd_solver = ao_admm_spd_solver(jax.default_backend())
     if spd_solver not in ("chol", "cg"):
         raise ValueError("spd_solver must be 'chol' or 'cg'")
@@ -426,6 +422,7 @@ def ao_admm(
         admm_iter=admm_iter,
         use_pallas=use_pallas,
         verbose=verbose,
+        loop_style=loop_style,
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,

@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from ..core.linalg import spd_solve
 from ..prox.operators import prox_l1inf_ball
 from .ao_admm import _inner_prox
+from .common import inner_loop
 
 _EPS_ABS = 1e-6
 _EPS_REL = 1e-3
@@ -83,7 +84,8 @@ def _terminated_rel(h, h_prev, h_aux, dual):
 
 
 def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
-                            spd_solver, tau, eta, upper_bound=1.0):
+                            spd_solver, tau, eta, upper_bound=1.0,
+                            loop_style="while"):
     """Least-squares inner ADMM (nmf/ao_admm.py:46-68) with residual
     balancing on rho inside the loop.  rho restarts at trace(G)/k each
     (outer) call, like the reference's per-subproblem adaptive rho."""
@@ -92,12 +94,8 @@ def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
     rho0 = jnp.trace(g) / k
     wty = w.T @ y
 
-    def cond(c):
-        j, *_, done = c
-        return jnp.logical_and(j < admm_iter, jnp.logical_not(done))
-
-    def body(c):
-        j, h, dual, rho, _ = c
+    def body(state):
+        h, dual, rho = state
         h_aux = _solve_spd(g + rho * keye, wty + rho * (h + dual), spd_solver)
         h_prev = h
         h = _inner_prox(prox_type, h_aux, dual, rho=rho, lambda_=lambda_,
@@ -108,18 +106,15 @@ def admm_ls_update_adaptive(y, w, h, dual, k, prox_type, admm_iter, lambda_,
         r_norm = rho * jnp.linalg.norm(h - h_aux)
         s_norm = rho * jnp.linalg.norm(h - h_prev)
         rho, dual = balance_rho(rho, r_norm, s_norm, dual, tau=tau, eta=eta)
-        return (j + 1, h, dual, rho, done)
+        return (h, dual, rho), done
 
-    _, h, dual, _, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32), h, dual, rho0, jnp.asarray(False)),
-    )
+    h, dual, _ = inner_loop(body, (h, dual, rho0), admm_iter, loop_style)
     return h, dual
 
 
 def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
                             admm_iter, lambda_, spd_solver, tau, eta,
-                            upper_bound=1.0):
+                            upper_bound=1.0, loop_style="while"):
     """KL inner ADMM (nmf/ao_admm.py:71-101) with adaptive rho.
 
     ``dual_v`` is never rescaled on rho changes: the data-term split
@@ -130,12 +125,8 @@ def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
     keye = jnp.eye(k, dtype=g.dtype)
     rho0 = jnp.trace(g) / k
 
-    def cond(c):
-        j, *_, done = c
-        return jnp.logical_and(j < admm_iter, jnp.logical_not(done))
-
-    def body(c):
-        j, h, dual_h, v_aux, dual_v, rho, _ = c
+    def body(state):
+        h, dual_h, v_aux, dual_v, rho = state
         h_aux = _solve_spd(
             g + rho * keye, w.T @ (v_aux + dual_v) + rho * (h + dual_h),
             spd_solver,
@@ -154,13 +145,10 @@ def admm_kl_update_adaptive(v, v_aux, dual_v, w, h, dual_h, k, prox_type,
         r_norm = rho * jnp.linalg.norm(h - h_aux)
         s_norm = rho * jnp.linalg.norm(h - h_prev)
         rho, dual_h = balance_rho(rho, r_norm, s_norm, dual_h, tau=tau, eta=eta)
-        return (j + 1, h, dual_h, v_aux, dual_v, rho, done)
+        return (h, dual_h, v_aux, dual_v, rho), done
 
-    _, h, dual_h, v_aux, dual_v, _, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32), h, dual_h, v_aux, dual_v, rho0,
-         jnp.asarray(False)),
-    )
+    h, dual_h, v_aux, dual_v, _ = inner_loop(
+        body, (h, dual_h, v_aux, dual_v, rho0), admm_iter, loop_style)
     return h, dual_h, v_aux, dual_v
 
 
@@ -169,7 +157,7 @@ _RHO_CLAMP = 8.0  # trust region around each rho's initial value
 
 def admm_local_sparsity_update(v, w, w_aux, dual_w, h, k, admm_iter,
                                lambda_w, upper_bound, adaptive, tau, eta,
-                               spd_solver):
+                               spd_solver, loop_style="while"):
     """Coupled two-block W-subproblem with l1,inf local sparsity
     (nmf/ao_admm_local_sparsity.py:110-156, re-derived — see module
     docstring for the deliberate repairs).
@@ -203,12 +191,8 @@ def admm_local_sparsity_update(v, w, w_aux, dual_w, h, k, admm_iter,
     sqrt_w = jnp.sqrt(jnp.asarray(w.size, dtype=v.dtype))
     sqrt_v = jnp.sqrt(jnp.asarray(v.size, dtype=v.dtype))
 
-    def cond(c):
-        j, *_, done = c
-        return jnp.logical_and(j < admm_iter, jnp.logical_not(done))
-
-    def body(c):
-        j, w, w_aux, dual_w, v_aux, dual_v, rho1, rho2, _ = c
+    def body(state):
+        w, w_aux, dual_w, v_aux, dual_v, rho1, rho2 = state
         # W block (:126-129): normal-equation solve + nonneg projection
         a = rho1 * keye + rho2 * g
         b = rho1 * (w_aux - dual_w) + rho2 * (v_aux - dual_v) @ h.T
@@ -259,11 +243,9 @@ def admm_local_sparsity_update(v, w, w_aux, dual_w, h, k, admm_iter,
         eps_dual = sqrt_w * _EPS_ABS + _EPS_REL * jnp.linalg.norm(
             rho1 * dual_w + rho2 * dual_v @ h.T)
         done = (nr1 < eps_pri1) & (nr2 < eps_pri2) & (ns < eps_dual)
-        return (j + 1, w, w_aux, dual_w, v_aux, dual_v, rho1, rho2, done)
+        return (w, w_aux, dual_w, v_aux, dual_v, rho1, rho2), done
 
-    _, w, w_aux, dual_w, _, _, _, _, _ = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32), w, w_aux, dual_w, v_aux, dual_v,
-         rho1_0, rho2_0, jnp.asarray(False)),
-    )
+    w, w_aux, dual_w, _, _, _, _ = inner_loop(
+        body, (w, w_aux, dual_w, v_aux, dual_v, rho1_0, rho2_0),
+        admm_iter, loop_style)
     return w, w_aux, dual_w

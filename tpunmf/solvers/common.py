@@ -46,6 +46,52 @@ class LoopCarry(NamedTuple):
     inner: Any
 
 
+def inner_loop(body: Callable, init_state, n_iter: int, style: str):
+    """Early-terminating inner loop in one of two lowering styles.
+
+    ``body(state) -> (new_state, done_now)``.
+
+    'while'       ``lax.while_loop`` that stops as soon as done — the
+                  natural form, but a data-dependent loop level: with a
+                  CG solve inside it makes the AO-ADMM nest
+                  while > while > fori, which stalls the TPU compiler
+                  (case C, benchmarks/repro_nested.py).
+    'fori_masked' fixed-trip ``lax.fori_loop`` carrying a done flag and
+                  freezing the state once done.  Identical iterates to
+                  'while' (a frozen state IS the early-exited state);
+                  the fixed trip removes one data-dependent level so a
+                  CG inner solve sits <=3-deep (the case-C workaround
+                  that lets TPU AO-ADMM use the fast CG path).  Cost:
+                  the remaining (n_iter - t) masked steps still execute.
+    """
+    done0 = jnp.asarray(False)
+    if style == "while":
+        def cond(c):
+            j, _, done = c
+            return jnp.logical_and(j < n_iter, jnp.logical_not(done))
+
+        def wbody(c):
+            j, state, _ = c
+            new_state, done_now = body(state)
+            return (j + 1, new_state, done_now)
+
+        _, state, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.asarray(0, jnp.int32), init_state, done0))
+        return state
+    if style != "fori_masked":
+        raise ValueError("style must be 'while' or 'fori_masked'")
+
+    def fbody(j, c):
+        state, done = c
+        new_state, done_now = body(state)
+        frozen = jax.tree.map(
+            lambda old, new: jnp.where(done, old, new), state, new_state)
+        return (frozen, jnp.logical_or(done, done_now))
+
+    state, _ = jax.lax.fori_loop(0, n_iter, fbody, (init_state, done0))
+    return state
+
+
 def init_carry(obj0, max_iter: int, inner) -> LoopCarry:
     obj0 = jnp.asarray(obj0)
     obj_buf = jnp.full((max_iter + 1,), jnp.nan, dtype=obj0.dtype)

