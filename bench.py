@@ -306,9 +306,18 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
         dt = max(t2 - t1, 0.05)  # 50 ms measurement floor
         return round(delta / dt, 2)
 
+    from tpunmf.solvers import mur_masked
+
+    mask = (jax.random.uniform(jax.random.PRNGKey(2), (m, n)) < 0.25
+            ).astype(jnp.float32)
+
+    def masked_eu(data, kk, **kw2):
+        return mur_masked(data, mask, kk, **kw2)
+
     out = {}
     out["mur_kl"] = rate(mur, 4000, distance_type="kl")
     out["mur_eu"] = rate(mur, 4000, distance_type="eu")
+    out["mur_masked_eu"] = rate(masked_eu, 2000, distance_type="eu")
     out["hals"] = rate(hals, 2000)
     out["anls"] = rate(anls, 100)
     out["anls_fast"] = rate(

@@ -5,6 +5,7 @@ Oracles: (a) all-ones mask must reproduce the unmasked solver exactly;
 completion — heldout entries of a low-rank matrix must be recovered far
 better than the column-mean baseline.
 """
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -162,3 +163,94 @@ def test_masked_kl_cold_rows_and_columns(rng):
     assert np.all(np.isfinite(np.asarray(res.obj_history)))
     np.testing.assert_allclose(res.w[3], w0[3])   # untouched
     np.testing.assert_allclose(res.h[:, 7], h0[:, 7])
+
+
+class TestMaskedFusedKernels:
+    """ops/masked_fused vs the solver's jnp formulas (interpret mode)."""
+
+    def _problem(self, m=32, n=24, k=4, frac=0.6, seed=2):
+        rng = np.random.default_rng(seed)
+        x = (rng.random((m, k)) @ rng.random((k, n)) + 0.05).astype(np.float32)
+        mask = (rng.random((m, n)) < frac).astype(np.float32)
+        mask[3, :] = 0.0  # cold row
+        w = (rng.random((m, k)) + 0.1).astype(np.float32)
+        h = (rng.random((k, n)) + 0.1).astype(np.float32)
+        return map(jnp.asarray, (x, mask, w, h))
+
+    @pytest.mark.parametrize("dist", ["eu", "kl"])
+    def test_w_update_matches_jnp(self, dist):
+        from tpunmf.ops.masked_fused import masked_w_update
+
+        x, mask, w, h = self._problem()
+        lam = 0.05
+        eps = 1e-9
+        if dist == "eu":
+            want = w * ((mask * x) @ h.T) / (
+                (mask * (w @ h)) @ h.T + lam * w + eps)
+        else:
+            r = mask * x / (w @ h + eps)
+            a = w * (r @ h.T)
+            b = mask @ h.T
+            den = b + jnp.sqrt(b * b + 4.0 * lam * a)
+            want = jnp.where(den > 0, 2.0 * a / jnp.where(den > 0, den, 1.0), w)
+        got = masked_w_update(x, mask, w, h, distance_type=dist, lam=lam,
+                              bm=8, bn=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    @pytest.mark.parametrize("dist", ["eu", "kl"])
+    def test_h_update_matches_jnp(self, dist):
+        from tpunmf.ops.masked_fused import masked_h_update
+
+        x, mask, w, h = self._problem()
+        lam = 0.02
+        eps = 1e-9
+        if dist == "eu":
+            want = h * (w.T @ (mask * x)) / (
+                w.T @ (mask * (w @ h)) + lam * h + eps)
+        else:
+            r = mask * x / (w @ h + eps)
+            c = h * (w.T @ r)
+            d = w.T @ mask
+            den = d + jnp.sqrt(d * d + 4.0 * lam * c)
+            want = jnp.where(den > 0, 2.0 * c / jnp.where(den > 0, den, 1.0), h)
+        got = masked_h_update(x, mask, w, h, distance_type=dist, lam=lam,
+                              bm=8, bn=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_full_block_kernel_path_matches(self):
+        """_mur_masked_block with fused_tile == the jnp path (interpret)."""
+        from tpunmf.solvers.common import init_carry
+        from tpunmf.solvers.masked import (_masked_eu_obj,
+                                           _mur_masked_block)
+
+        x, mask, w, h = self._problem()
+        obj0 = _masked_eu_obj(x, mask, w, h)
+        kw = dict(distance_type="eu", min_iter=3, max_iter=3, verbose=False)
+        ref = _mur_masked_block(x, mask, init_carry(obj0, 3, (w, h)), 3,
+                                0.0, 0.0, 0.1, 0.2, **kw)
+        import tpunmf.ops.masked_fused as mf
+
+        orig_w, orig_h = mf.masked_w_update, mf.masked_h_update
+        mf.masked_w_update = lambda *a, **k2: orig_w(
+            *a, **{**k2, "interpret": True})
+        mf.masked_h_update = lambda *a, **k2: orig_h(
+            *a, **{**k2, "interpret": True})
+        try:
+            got = _mur_masked_block(x, mask, init_carry(obj0, 3, (w, h)), 3,
+                                    0.0, 0.0, 0.1, 0.2, fused_tile=(8, 8),
+                                    **kw)
+        finally:
+            mf.masked_w_update, mf.masked_h_update = orig_w, orig_h
+        np.testing.assert_allclose(np.asarray(got.inner[0]),
+                                   np.asarray(ref.inner[0]), rtol=5e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(float(got.obj), float(ref.obj), rtol=1e-5)
+
+    def test_tileable_gate(self):
+        from tpunmf.ops.masked_fused import masked_tileable
+
+        assert masked_tileable(jnp.ones((512, 1024), jnp.float32), 64) \
+            is not None
+        assert masked_tileable(jnp.ones((512, 1024), jnp.float64), 64) is None
