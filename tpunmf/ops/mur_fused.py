@@ -341,6 +341,161 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     )(x, ht, w, gh, lam_arr)
 
 
+# ----------------------- single-pass EU iteration, manual DMA pipeline
+
+
+def _iter_eu_dma_kernel(x_hbm, ht_ref, gh_ref, w_hbm, lw_ref,
+                        wout_hbm, wtx_ref, gw_ref,
+                        xbuf, wbuf, wobuf, x_sem, w_sem, wo_sem,
+                        *, ni, bm):
+    """mur_iteration_eu with MANUALLY double-buffered strip I/O.
+
+    The auto-pipelined variant (grid + BlockSpecs, _iter_eu_kernel) leaves
+    bf16 mode at ~0.64 of the measured HBM roofline — the Mosaic pipeline
+    serializes part of the X-strip DMA against the two MXU GEMMs.  Here X
+    and W stay in HBM; the kernel runs the strip loop itself, issuing the
+    next strip's DMA before computing the current one and draining W
+    write-backs two slots behind, so the X read, W read/write and compute
+    all overlap explicitly (pallas_guide.md double-buffering pattern).
+    H^T arrives PRE-CAST to X's dtype — resident VMEM halves for bf16 and
+    the per-strip cast disappears from the critical path."""
+    lw = lw_ref[0, 0]
+    wtx_ref[:] = jnp.zeros_like(wtx_ref)
+    gw_ref[:] = jnp.zeros_like(gw_ref)
+    ht = ht_ref[:]
+    gh = gh_ref[:]
+
+    def x_dma(slot, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(i * bm, bm), :], xbuf.at[slot], x_sem.at[slot])
+
+    def w_dma(slot, i):
+        return pltpu.make_async_copy(
+            w_hbm.at[pl.ds(i * bm, bm), :], wbuf.at[slot], w_sem.at[slot])
+
+    def wo_dma(slot, i):
+        return pltpu.make_async_copy(
+            wobuf.at[slot], wout_hbm.at[pl.ds(i * bm, bm), :],
+            wo_sem.at[slot])
+
+    x_dma(0, 0).start()
+    w_dma(0, 0).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < ni)
+        def _():
+            x_dma(nxt, i + 1).start()
+            w_dma(nxt, i + 1).start()
+
+        x_dma(slot, i).wait()
+        w_dma(slot, i).wait()
+        xb = xbuf[slot]                               # (bm, n) x-dtype
+        w = wbuf[slot]                                # (bm, k) f32
+        numer = jnp.dot(xb, ht, preferred_element_type=jnp.float32)
+        denom = jnp.dot(w, gh, preferred_element_type=jnp.float32)
+        w_new = w * numer / (denom + lw * w + _EPS)
+
+        # the write-back two strips ago still owns this wobuf slot
+        @pl.when(i >= 2)
+        def _():
+            wo_dma(slot, i - 2).wait()
+
+        wobuf[slot] = w_new
+        wo_dma(slot, i).start()
+
+        wtx_ref[:] += jnp.dot(w_new.T.astype(xb.dtype), xb,
+                              preferred_element_type=jnp.float32)
+        gw_ref[:] += jnp.dot(w_new.T, w_new,
+                             preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, ni, body, 0)
+
+    # drain the last (up to two) W write-backs
+    @pl.when(ni >= 2)
+    def _():
+        wo_dma(jax.lax.rem(ni - 2, 2), ni - 2).wait()
+    wo_dma(jax.lax.rem(ni - 1, 2), ni - 1).wait()
+
+
+def iter_eu_dma_tileable(x, k: int):
+    """Strip height bm for the manual-DMA single-pass kernel, or None.
+
+    VMEM: pre-cast H^T + WtX accumulator + 2 X strip slots + 3 small
+    (bm, k) f32 buffers (w in x2, w out x2 counted below)."""
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    m, n = x.shape
+    xb = x.dtype.itemsize
+    budget = 13 * 1024 * 1024
+    fixed = k * n * xb + k * n * 4 + 2 * k * k * 4    # ht(cast) + wtx + grams
+    for bm in (256, 128, 64, 32):
+        if m % bm or m // bm < 2:
+            continue
+        need = fixed + 2 * bm * n * xb + 4 * bm * k * 4
+        if need <= budget:
+            return bm
+    return None
+
+
+def mur_iteration_eu_dma(x, w, h, *, lam_w: float, bm: int):
+    """Whole EU-MUR W-half + H-numerator in ONE manually-pipelined pass.
+
+    Same contract as mur_iteration_eu (returns (w_new, wtx, gram_w));
+    X/W strip traffic is explicitly double-buffered against the MXU
+    GEMMs.  No interpret mode — the XLA path and mur_iteration_eu are
+    the CPU oracles (equivalence is checked on TPU hardware,
+    benchmarks/sweep_dma.py)."""
+    m, n = x.shape
+    k = w.shape[1]
+    if m % bm:
+        raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
+    ni = m // bm
+    if ni < 2:
+        raise ValueError("need at least 2 strips to double-buffer")
+    gh = h @ h.T
+    ht = h.T.astype(x.dtype)                          # pre-cast, resident
+    lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
+    kern = functools.partial(_iter_eu_dma_kernel, ni=ni, bm=bm)
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),     # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ht (pre-cast)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # gh
+            pl.BlockSpec(memory_space=pltpu.ANY),     # w in HBM
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # lam
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),     # w_new in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # wtx
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # gram_w
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, bm, n), x.dtype),
+            pltpu.VMEM((2, bm, k), jnp.float32),
+            pltpu.VMEM((2, bm, k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n * k,
+            bytes_accessed=m * n * x.dtype.itemsize + (4 * m * k + 2 * k * n) * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(x, ht, gh, w, lam_arr)
+
+
 # ------------------------------------------- single-pass KL iteration
 
 def _iter_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,

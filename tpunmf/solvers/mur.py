@@ -34,7 +34,9 @@ from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_obj, kl_ratio, kl_ratio_and_obj
 from ..ops.mur_fused import (
+    iter_eu_dma_tileable,
     iter_eu_tileable,
+    mur_iteration_eu_dma,
     iter_kl_tileable,
     mur_h_update,
     mur_iteration_eu,
@@ -94,8 +96,12 @@ def _mur_block(
         only the k-sized H update and the objective remain outside."""
         w, h = inner
         with jax.named_scope("mur_iteration"):
-            w, wtx, gram_w = mur_iteration_eu(x, w, h, lam_w=lambda_w,
-                                              bm=single_pass_bm)
+            if isinstance(single_pass_bm, tuple):  # ("dma", bm)
+                w, wtx, gram_w = mur_iteration_eu_dma(
+                    x, w, h, lam_w=lambda_w, bm=single_pass_bm[1])
+            else:
+                w, wtx, gram_w = mur_iteration_eu(x, w, h, lam_w=lambda_w,
+                                                  bm=single_pass_bm)
         h_new = h * wtx / (gram_w @ h + lambda_h * h + _EPS)
         with jax.named_scope("objective"):
             if objective == "gram":
@@ -310,6 +316,13 @@ def mur(
         iter_eu_tileable(x, k)
         if use_pallas and distance_type == "eu" else None
     )
+    if single_pass_bm is not None:
+        from .tpu_defaults import mur_single_pass_variant
+
+        if mur_single_pass_variant(jax.default_backend()) == "dma":
+            dma_bm = iter_eu_dma_tileable(x, k)
+            if dma_bm is not None:
+                single_pass_bm = ("dma", dma_bm)
     kl_single_bm = (
         iter_kl_tileable(x, k)
         if use_pallas and distance_type == "kl" else None

@@ -37,6 +37,14 @@ def hals_use_pallas(backend: str) -> bool:
     return backend == "tpu"
 
 
+def mur_single_pass_variant(backend: str) -> str:
+    """'auto' = Mosaic-pipelined single-pass kernel (grid + BlockSpecs);
+    'dma' = manual double-buffered strip DMA (mur_iteration_eu_dma) —
+    the round-3 lever for the bf16 0.64-roofline gap.  Selected per
+    measurement on hardware (benchmarks/sweep_dma.py)."""
+    return "auto"
+
+
 def hals_use_sweep_kernel(backend: str) -> bool:
     """The Gauss-Seidel sweep chain as one Pallas kernel (grid-parallel
     over the non-rank axis) instead of the latency-bound fori chain of
