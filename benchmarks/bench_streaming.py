@@ -37,12 +37,16 @@ def make_sparse(m, n, density, seed=0):
 
 
 def run(m=100_000, n=10_000, k=128, density=0.01, iters=5, row_block=16384,
-        distance_type="eu", objective="exact", prefetch=True):
+        distance_type="eu", objective="exact", prefetch=True,
+        transfer_dtype=None):
+    import jax.numpy as jnp
+
     x = make_sparse(m, n, density)
     n_dev = len(jax.devices())
     mesh = build_mesh(shape=(n_dev,), axis_names=("cols",))
     kw = dict(distance_type=distance_type, row_block=row_block,
-              tol1=0.0, tol2=0.0, prefetch=prefetch)
+              tol1=0.0, tol2=0.0, prefetch=prefetch,
+              transfer_dtype=transfer_dtype)
     if distance_type == "kl":
         kw["objective"] = objective
 
@@ -57,7 +61,9 @@ def run(m=100_000, n=10_000, k=128, density=0.01, iters=5, row_block=16384,
     it_s = iters / dt
     gb_per_iter = m * n * 4 / 1e9 * (1 if distance_type == "eu" else
                                      (1 if objective == "lagged" else 2))
-    print(f"{distance_type}/{objective} prefetch={prefetch}: "
+    tname = "bf16" if transfer_dtype is not None else "f32"
+    print(f"{distance_type}/{objective} prefetch={prefetch} "
+          f"transfer={tname}: "
           f"{it_s:.3f} it/s  ({dt/iters*1e3:.0f} ms/iter, warm-up {warm:.1f}s, "
           f"{gb_per_iter*it_s:.1f} GB/s effective dense-equivalent stream, "
           f"{n_dev} device(s), nnz={x.nnz})")
@@ -71,8 +77,14 @@ if __name__ == "__main__":
     scale = 0.2
     if len(sys.argv) > 1 and sys.argv[1] == "cpu8":
         scale = 0.1  # smaller on emulated CPU
+    import jax.numpy as _jnp
+
     m = int(100_000 * scale)
-    run(m=m, iters=3, row_block=8192, distance_type="eu", prefetch=True)
+    run(m=m, iters=3, row_block=8192, distance_type="eu", prefetch=False)
+    run(m=m, iters=3, row_block=8192, distance_type="eu", prefetch=False,
+        transfer_dtype=_jnp.bfloat16)
     if len(sys.argv) > 1 and sys.argv[1] == "cpu8":
-        run(m=m, iters=3, row_block=8192, distance_type="eu", prefetch=False)
+        run(m=m, iters=3, row_block=8192, distance_type="eu", prefetch=True)
     run(m=m, iters=3, row_block=8192, distance_type="kl", objective="lagged")
+    run(m=m, iters=3, row_block=8192, distance_type="kl", objective="lagged",
+        transfer_dtype=_jnp.bfloat16)

@@ -1,4 +1,5 @@
 """Out-of-core streaming MUR vs the in-core solver: identical trajectories."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -251,3 +252,100 @@ def test_sharded_streaming_prefetch_off_matches(rng):
     off = mur_streaming_sharded(csr, k, mesh, prefetch=False, **kw)
     np.testing.assert_array_equal(on.w, off.w)
     np.testing.assert_array_equal(on.h, off.h)
+
+
+def test_panel_bf16_matches_f32(rng):
+    """Native bf16 densify == f32 densify rounded (RNE)."""
+    import ml_dtypes
+    import scipy.sparse as sp
+
+    from tpunmf.data.sparse_panels import PanelStream
+
+    m, n = 96, 80
+    dense = (rng.random((m, n)) * (rng.random((m, n)) < 0.2)).astype(
+        np.float32)
+    stream = PanelStream(sp.csr_matrix(dense), row_block=32, col_panel=40)
+    for i in range(3):
+        for j in range(2):
+            got = stream.panel_bf16(i, j)
+            assert got.dtype == ml_dtypes.bfloat16
+            want = stream.panel(i, j).astype(ml_dtypes.bfloat16)
+            np.testing.assert_array_equal(
+                got.view(np.uint16), want.view(np.uint16))
+
+
+def test_streaming_bf16_transfer_close_to_f32(rng):
+    """transfer_dtype=bf16 converges to ~the same objective (the data is
+    bf16-rounded, so exact equality is not expected)."""
+    import scipy.sparse as sp
+
+    from tpunmf.solvers import mur_streaming
+
+    m, n, k = 60, 52, 4
+    dense = (rng.random((m, k)) @ rng.random((k, n))).astype(np.float32)
+    dense *= rng.random((m, n)) < 0.4
+    x = sp.csr_matrix(dense)
+    w0 = (rng.random((m, k)) + 0.1).astype(np.float32)
+    h0 = (rng.random((k, n)) + 0.1).astype(np.float32)
+    kw = dict(min_iter=5, max_iter=5, tol1=0.0, tol2=0.0, row_block=32,
+              col_panel=32, w_init=w0, h_init=h0)
+    a = mur_streaming(x, k, distance_type="eu", **kw)
+    b = mur_streaming(x, k, distance_type="eu",
+                      transfer_dtype=jnp.bfloat16, **kw)
+    assert abs(a.obj_history[-1] - b.obj_history[-1]) <= (
+        2e-2 * abs(a.obj_history[-1]) + 1e-6)
+    # KL route also runs finite with bf16 panels
+    c = mur_streaming(x, k, distance_type="kl",
+                      transfer_dtype=jnp.bfloat16, **kw)
+    assert np.all(np.isfinite(c.obj_history))
+
+
+def test_pipelined_schedule_preserves_trajectory(rng):
+    """The pipelined transfer refactor must not change iterates at all
+    (accumulation order per block is unchanged)."""
+    import scipy.sparse as sp
+
+    from tpunmf.solvers import mur, mur_streaming
+
+    m, n, k = 48, 40, 3
+    dense = (rng.random((m, k)) @ rng.random((k, n))).astype(np.float64)
+    x = sp.csr_matrix(dense)
+    w0 = rng.random((m, k)) + 0.1
+    h0 = rng.random((k, n)) + 0.1
+    r_st = mur_streaming(x, k, distance_type="eu", min_iter=6, max_iter=6,
+                         tol1=0.0, tol2=0.0, row_block=16, col_panel=16,
+                         w_init=w0, h_init=h0, dtype=jnp.float64,
+                         skip_empty_panels=False)
+    r_in = mur(dense, k, distance_type="eu", min_iter=6, max_iter=6,
+               tol1=0.0, tol2=0.0, w_init=w0, h_init=h0, objective="gram")
+    # panels densify to f32 (the host panelizer's dtype), so parity with
+    # the f64 in-core run is f32-grade
+    np.testing.assert_allclose(r_st.w, r_in.w, rtol=1e-6, atol=1e-8)
+
+
+def test_streaming_sharded_bf16_transfer(rng):
+    """Sharded out-of-core path with bf16 block transfer stays close to
+    the f32 run and finite."""
+    import jax
+    import pytest
+    import scipy.sparse as sp
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+    from tpunmf.solvers.streaming_sharded import mur_streaming_sharded
+
+    m, n, k = 64, 48, 4
+    dense = (rng.random((m, k)) @ rng.random((k, n))).astype(np.float32)
+    dense *= rng.random((m, n)) < 0.5
+    x = sp.csr_matrix(dense)
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    w0 = (rng.random((m, k)) + 0.1).astype(np.float32)
+    h0 = (rng.random((k, n)) + 0.1).astype(np.float32)
+    kw = dict(min_iter=4, max_iter=4, tol1=0.0, tol2=0.0, row_block=32,
+              w_init=w0, h_init=h0)
+    a = mur_streaming_sharded(x, k, mesh, **kw)
+    b = mur_streaming_sharded(x, k, mesh, transfer_dtype=jnp.bfloat16, **kw)
+    assert abs(a.obj_history[-1] - b.obj_history[-1]) <= (
+        2e-2 * abs(a.obj_history[-1]) + 1e-6)
+    assert np.all(np.isfinite(b.obj_history))

@@ -82,6 +82,35 @@ class PanelStream:
             out[:rows, :cols] = sub
         return out
 
+    def panel_bf16(self, i: int, j: int) -> np.ndarray:
+        """Densify tile (i, j) directly to bfloat16 (RNE).
+
+        The transfer-compression path for tunnel/DCN-bound streaming —
+        halves host->device bytes; device-side accumulation stays f32.
+        Native path converts during densification (no extra host pass);
+        the fallback densifies f32 then casts once."""
+        import ml_dtypes
+
+        row0 = i * self.row_block
+        col0 = j * self.col_panel
+        rows = min(self.row_block, self.m - row0)
+        cols = min(self.col_panel, self.n - col0)
+        if self._lib is not None and cols == self.col_panel and hasattr(
+                self._lib, "csr_panel_bf16"):
+            self.densify_count += 1
+            out = np.zeros((self.row_block, self.col_panel),
+                           dtype=ml_dtypes.bfloat16)
+            self._lib.csr_panel_bf16(
+                self._indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                row0, rows, col0, cols,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                self.n_threads,
+            )
+            return out
+        return self.panel(i, j).astype(ml_dtypes.bfloat16)
+
     def panel_nnz(self, i: int, j: int) -> int:
         """Nonzero count of a tile (lets schedulers skip empty panels)."""
         row0 = i * self.row_block

@@ -59,6 +59,10 @@ def _load():
         lib.csr_panel_f32_batch.restype = None
         lib.csr_panel_nnz.argtypes = [i64p, i32p, i64, i64, i64, i64]
         lib.csr_panel_nnz.restype = ctypes.c_int64
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib.csr_panel_bf16.argtypes = [i64p, i32p, f32p, i64, i64, i64, i64,
+                                       u16p, ctypes.c_int]
+        lib.csr_panel_bf16.restype = None
         _lib = lib
         return _lib
 

@@ -46,6 +46,36 @@ inline void fill_tile_rows(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// float -> bfloat16 with round-to-nearest-even (the transfer-compression
+// path: halves host->device panel bytes; accumulation stays f32 on device)
+inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, sizeof(x));
+  const uint32_t lsb = (x >> 16) & 1u;
+  x += 0x7FFFu + lsb;
+  return static_cast<uint16_t>(x >> 16);
+}
+
+inline void fill_tile_rows_bf16(const int64_t* indptr, const int32_t* indices,
+                                const float* data, int64_t row0,
+                                int64_t r_begin, int64_t r_end, int64_t col0,
+                                int64_t cols, uint16_t* out) {
+  for (int64_t r = r_begin; r < r_end; ++r) {
+    const int64_t row = row0 + r;
+    const int32_t* beg = indices + indptr[row];
+    const int32_t* end = indices + indptr[row + 1];
+    const float* vals = data + indptr[row];
+    const int32_t* lo =
+        std::lower_bound(beg, end, static_cast<int32_t>(col0));
+    const int32_t* hi =
+        std::lower_bound(lo, end, static_cast<int32_t>(col0 + cols));
+    uint16_t* out_row = out + r * cols;
+    for (const int32_t* p = lo; p < hi; ++p) {
+      out_row[*p - col0] = f32_to_bf16(vals[p - beg]);
+    }
+  }
+}
+
 void run_threaded(int64_t rows, int n_threads,
                   const std::function<void(int64_t, int64_t)>& body) {
   if (n_threads <= 1 || rows < 256) {
@@ -90,6 +120,20 @@ void csr_panel_f32_batch(const int64_t* indptr, const int32_t* indices,
       fill_tile_rows(indptr, indices, data, row0, b, e, col0 + p * cols, cols,
                      out + p * rows * cols);
     }
+  });
+}
+
+// Densify a tile directly to bfloat16 (round-to-nearest-even) — the
+// panel never exists as f32 on the host, so the transfer-compressed
+// streaming path costs no extra host pass.  bf16 zero is 0x0000, so the
+// memset pre-zero is exact.
+void csr_panel_bf16(const int64_t* indptr, const int32_t* indices,
+                    const float* data, int64_t row0, int64_t rows,
+                    int64_t col0, int64_t cols, uint16_t* out,
+                    int n_threads) {
+  std::memset(out, 0, sizeof(uint16_t) * rows * cols);
+  run_threaded(rows, n_threads, [&](int64_t b, int64_t e) {
+    fill_tile_rows_bf16(indptr, indices, data, row0, b, e, col0, cols, out);
   });
 }
 

@@ -105,12 +105,14 @@ def _mur_h_update_kl(h, numer, w, lambda_h):
 class _Panels:
     """Panel access with zero-padded factor blocks and nnz-based skipping."""
 
-    def __init__(self, x_sparse, row_block, col_panel, skip_empty):
+    def __init__(self, x_sparse, row_block, col_panel, skip_empty,
+                 transfer_dtype=None):
         self.stream = PanelStream(x_sparse, row_block=row_block,
                                   col_panel=col_panel)
         self.m, self.n = self.stream.m, self.stream.n
         self.rb, self.cb = self.stream.grid
         self.row_block, self.col_panel = self.stream.row_block, self.stream.col_panel
+        self.transfer_bf16 = transfer_dtype == jnp.bfloat16
         self.nonempty = {
             (i, j)
             for i in range(self.rb)
@@ -118,12 +120,35 @@ class _Panels:
             if not skip_empty or self.stream.panel_nnz(i, j) > 0
         }
 
-    def x(self, i, j):
+    def host_panel(self, i, j):
         # fresh host array per panel: device transfers can be asynchronous
         # and zero-copy on the CPU backend, so a reused buffer would let
         # the next densify clobber an in-flight panel (observed as flaky
         # trajectory divergence)
-        return jnp.asarray(self.stream.panel(i, j))
+        if self.transfer_bf16:
+            # transfer compression: bf16 panels halve host->device bytes
+            # on the transfer-bound path; device math accumulates f32
+            return self.stream.panel_bf16(i, j)
+        return self.stream.panel(i, j)
+
+    def x(self, i, j):
+        return jnp.asarray(self.host_panel(i, j))
+
+    def pipelined(self, sched):
+        """Yield (i, j, device_panel) over ``sched`` with one panel of
+        lookahead: the next tile's densify + device_put are issued while
+        the device still runs the current tile's (async-dispatched)
+        accumulate — compute/transfer overlap with NO worker thread (the
+        round-2 thread-based prefetch lost to host contention through
+        the tunnel, docs/PERF.md)."""
+        if not sched:
+            return
+        pending = jax.device_put(self.host_panel(*sched[0]))
+        for t, (i, j) in enumerate(sched):
+            cur = pending
+            if t + 1 < len(sched):
+                pending = jax.device_put(self.host_panel(*sched[t + 1]))
+            yield i, j, cur
 
     def rows(self, i):
         return min(self.row_block, self.m - i * self.row_block)
@@ -169,6 +194,7 @@ def mur_streaming(
     h_init=None,
     dtype=jnp.float32,
     skip_empty_panels: bool = True,
+    transfer_dtype=None,
     verbose: bool = False,
 ) -> Results:
     """MUR on a scipy sparse matrix streamed through the device in panels.
@@ -176,12 +202,19 @@ def mur_streaming(
     Same update mathematics and convergence semantics as ``mur``; designed
     for V beyond device HBM (only W, H, one panel, and k x k Grams are
     resident on device).  Panels are densified in float32 by the host
-    panelizer regardless of ``dtype`` (which governs factors/accumulators).
+    panelizer regardless of ``dtype`` (which governs factors/accumulators);
+    ``transfer_dtype=jnp.bfloat16`` densifies straight to bf16 in the
+    native panelizer, halving host->device bytes on the transfer-bound
+    path (device accumulation stays in ``dtype``; the recorded objective
+    is then the objective of the bf16-rounded data).
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
+    if transfer_dtype not in (None, jnp.float32, jnp.bfloat16):
+        raise ValueError("transfer_dtype must be None/float32/bfloat16")
 
-    p = _Panels(x_sparse, row_block, col_panel, skip_empty_panels)
+    p = _Panels(x_sparse, row_block, col_panel, skip_empty_panels,
+                transfer_dtype=transfer_dtype)
     m, n = p.m, p.n
 
     if (w_init is None) != (h_init is None):
@@ -206,39 +239,36 @@ def mur_streaming(
 
     def streamed_xht(h, kl_with_w=None):
         """sum_j X_panel @ h_panel^T per row block (EU), or the KL ratio
-        version when ``kl_with_w`` is the current W."""
+        version when ``kl_with_w`` is the current W.  One pipelined pass
+        over the nonempty tiles (transfer overlaps compute)."""
         hp = p.pad_h(h)
         wp = None if kl_with_w is None else p.pad_w(kl_with_w)
-        blocks = []
-        for i in range(p.rb):
-            acc = jnp.zeros((p.row_block, k), dtype=dtype)
-            for j in range(p.cb):
-                if (i, j) not in p.nonempty:
-                    continue
-                if wp is None:
-                    acc = _acc_xht(acc, p.x(i, j), p.h_panel(hp, j))
-                else:
-                    acc = _acc_kl_rht(acc, p.x(i, j), p.w_block(wp, i),
+        accs = [jnp.zeros((p.row_block, k), dtype=dtype) for _ in range(p.rb)]
+        sched = [(i, j) for i in range(p.rb) for j in range(p.cb)
+                 if (i, j) in p.nonempty]
+        for i, j, xpan in p.pipelined(sched):
+            if wp is None:
+                accs[i] = _acc_xht(accs[i], xpan, p.h_panel(hp, j))
+            else:
+                accs[i] = _acc_kl_rht(accs[i], xpan, p.w_block(wp, i),
                                       p.h_panel(hp, j))
-            blocks.append(acc[: p.rows(i)])
-        return jnp.concatenate(blocks, axis=0)
+        return jnp.concatenate(
+            [acc[: p.rows(i)] for i, acc in enumerate(accs)], axis=0)
 
     def streamed_wtx(w, kl_with_h=None):
         wp = p.pad_w(w)
         hp = None if kl_with_h is None else p.pad_h(kl_with_h)
-        cols_out = []
-        for j in range(p.cb):
-            acc = jnp.zeros((k, p.col_panel), dtype=dtype)
-            for i in range(p.rb):
-                if (i, j) not in p.nonempty:
-                    continue
-                if hp is None:
-                    acc = _acc_wtx(acc, p.w_block(wp, i), p.x(i, j))
-                else:
-                    acc = _acc_kl_wtr(acc, p.x(i, j), p.w_block(wp, i),
+        accs = [jnp.zeros((k, p.col_panel), dtype=dtype) for _ in range(p.cb)]
+        sched = [(i, j) for j in range(p.cb) for i in range(p.rb)
+                 if (i, j) in p.nonempty]
+        for i, j, xpan in p.pipelined(sched):
+            if hp is None:
+                accs[j] = _acc_wtx(accs[j], p.w_block(wp, i), xpan)
+            else:
+                accs[j] = _acc_kl_wtr(accs[j], xpan, p.w_block(wp, i),
                                       p.h_panel(hp, j))
-            cols_out.append(acc[:, : p.cols(j)])
-        return jnp.concatenate(cols_out, axis=1)
+        return jnp.concatenate(
+            [acc[:, : p.cols(j)] for j, acc in enumerate(accs)], axis=1)
 
     def kl_objective(w, h):
         """Masked KL objective.
@@ -253,12 +283,13 @@ def mur_streaming(
         wp, hp = p.pad_w(w), p.pad_h(h)
         w_colsums = [jnp.sum(p.w_block(wp, i), axis=0) for i in range(p.rb)]
         h_rowsums = [jnp.sum(p.h_panel(hp, j), axis=1) for j in range(p.cb)]
+        sched = [(i, j) for i in range(p.rb) for j in range(p.cb)
+                 if (i, j) in p.nonempty]
+        for i, j, xpan in p.pipelined(sched):
+            obj = _acc_kl_obj(obj, xpan, p.w_block(wp, i), p.h_panel(hp, j))
         for i in range(p.rb):
             for j in range(p.cb):
-                if (i, j) in p.nonempty:
-                    obj = _acc_kl_obj(obj, p.x(i, j), p.w_block(wp, i),
-                                      p.h_panel(hp, j))
-                else:
+                if (i, j) not in p.nonempty:
                     obj = obj + jnp.dot(w_colsums[i], h_rowsums[j])
         return float(obj)
 

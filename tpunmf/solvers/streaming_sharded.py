@@ -129,6 +129,7 @@ def mur_streaming_sharded(
     dtype=jnp.float32,
     objective: str = "exact",
     prefetch: bool = False,
+    transfer_dtype=None,
     verbose: bool = False,
 ) -> Results:
     """MUR (EU or KL) with column-sharded H and row-block-streamed V.
@@ -149,7 +150,13 @@ def mur_streaming_sharded(
         through the axon tunnel (2.4x worse — the extra thread contends
         on the dispatch path).  Worth enabling only where host
         densification is the genuine bottleneck and transfers are
-        DMA-fast (real TPU hosts).
+        DMA-fast (real TPU hosts).  Note the thread-free loop already
+        overlaps: block dispatches are async, so block i+1's densify
+        runs on the host while the device processes block i.
+      transfer_dtype: ``jnp.bfloat16`` densifies blocks straight to bf16
+        in the native panelizer (RNE), halving host->device bytes on the
+        transfer-bound path.  Device accumulation stays in ``dtype``;
+        objectives are then those of the bf16-rounded data.
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
@@ -201,7 +208,10 @@ def mur_streaming_sharded(
             col_sl = index[1]
             c0 = 0 if col_sl.start is None else col_sl.start
             j = c0 // col_shard
-            out = stream.panel(i, j)
+            if transfer_dtype == jnp.bfloat16:
+                out = stream.panel_bf16(i, j)
+            else:
+                out = stream.panel(i, j)
             if rows < row_block:
                 out = out.copy()  # panel() zero-pads already; keep explicit
             return out
