@@ -88,8 +88,13 @@ def main():
 
         rec["it_per_s"] = round(two_point_rate(call, 5, 300), 2)
 
-    elif which == "hals_headline":
+    elif which in ("hals_headline", "hals_single_pass_headline"):
         from tpunmf.solvers import hals
+
+        if which == "hals_single_pass_headline":
+            from tpunmf.solvers import tpu_defaults as td
+
+            td.hals_single_pass = lambda backend: True
 
         m, n, k = 8192, 8192, 128
         key = jax.random.PRNGKey(3)

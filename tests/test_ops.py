@@ -359,3 +359,35 @@ class TestHalsSweepKernel:
                                    np.asarray(ref.inner[1]), rtol=1e-4,
                                    atol=1e-4)
         np.testing.assert_allclose(float(got.obj), float(ref.obj), rtol=1e-5)
+
+    def test_single_pass_hals_iteration_matches(self):
+        """hals_iteration_eu == xht/hht + sweeps + cross-products."""
+        from tpunmf.ops.hals_sweep import hals_iteration_eu
+        from tpunmf.solvers.hals import _hals_sweep_w
+
+        x, w, h = self._problem(m=64, n=48, k=8)
+        lam = 0.05
+        nsweeps = 2
+        xht = (x @ h.T).astype(jnp.float32)
+        hht = (h @ h.T).astype(jnp.float32)
+        want_w = w
+        for _ in range(nsweeps):
+            want_w = _hals_sweep_w(want_w, xht, hht, lam)
+        want_wtx = want_w.T @ x
+        want_gw = want_w.T @ want_w
+        got_w, got_wtx, got_gw = hals_iteration_eu(
+            x, w, h, lam_w=lam, nsweeps=nsweeps, bm=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_w), np.asarray(want_w),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_wtx), np.asarray(want_wtx),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_gw), np.asarray(want_gw),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_single_pass_hals_tileable(self):
+        from tpunmf.ops.hals_sweep import hals_iter_tileable
+
+        assert hals_iter_tileable(
+            jnp.ones((8192, 8192), jnp.float32), 128) is not None
+        assert hals_iter_tileable(
+            jnp.ones((8192, 8192), jnp.float64), 128) is None

@@ -73,6 +73,113 @@ def gs_sweep_tileable(k: int, mdim: int) -> int | None:
     return None
 
 
+# ------------------------------------------ single-pass HALS iteration
+
+
+def _hals_iter_kernel(x_ref, ht_ref, hht_ref, w_ref, lam_ref,
+                      w_out_ref, wtx_ref, gw_ref, *, k: int, nsweeps: int):
+    """One grid step = full W-half for a (bm, n) row strip in ONE X read:
+    the X@H^T strip GEMM, the in-register Gauss-Seidel sweeps, then the
+    H-numerator W_new^T X and W-Gram accumulations — the HALS analog of
+    ops/mur_fused._iter_eu_kernel.  Same per-iteration HBM traffic as
+    single-pass MUR-EU, but each iteration is an exact coordinate solve
+    (HALS converges in far fewer iterations on the EU objective)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        wtx_ref[:] = jnp.zeros_like(wtx_ref)
+        gw_ref[:] = jnp.zeros_like(gw_ref)
+
+    xb = x_ref[:]                                     # (bm, n)
+    xht = jnp.dot(xb, ht_ref[:].astype(xb.dtype),
+                  preferred_element_type=jnp.float32)  # (bm, k)
+    w = w_ref[:]                                      # (bm, k) f32
+    g = hht_ref[:]                                    # (k, k)
+    lam = lam_ref[0, 0]
+    p = jnp.dot(w, g, preferred_element_type=jnp.float32)
+    for _ in range(nsweeps):
+        for l in range(k):                            # static indices
+            gll = g[l, l]
+            numer = xht[:, l] - p[:, l] + gll * w[:, l]
+            new = jnp.maximum(numer / (gll + lam + _EPS), 0.0)
+            delta = new - w[:, l]
+            p = p + delta[:, None] * g[l:l + 1, :]
+            w = w.at[:, l].set(new)
+    w_out_ref[:] = w
+    wtx_ref[:] += jnp.dot(w.T.astype(xb.dtype), xb,
+                          preferred_element_type=jnp.float32)
+    gw_ref[:] += jnp.dot(w.T, w, preferred_element_type=jnp.float32)
+
+
+def hals_iter_tileable(x, k: int) -> int | None:
+    """Strip height bm for the single-pass HALS kernel, or None.
+
+    Needs the full-width X strip (double-buffered), H^T, the WtX
+    accumulator, and the sweep temporaries resident — iter_eu_tileable's
+    layout plus (bm, k) sweep state."""
+    if x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    if k % 8 or k > 256:
+        return None
+    m, n = x.shape
+    xb = x.dtype.itemsize
+    budget = 13 * 1024 * 1024
+    fixed = k * n * 4 + k * n * 4 + 2 * k * k * 4     # ht(f32) + wtx + grams
+    for bm in (256, 128, 64, 32):
+        if m % bm:
+            continue
+        need = fixed + 2 * bm * n * xb + 5 * bm * k * 4
+        if need <= budget:
+            return bm
+    return None
+
+
+def hals_iteration_eu(x, w, h, *, lam_w: float, nsweeps: int, bm: int,
+                      interpret: bool = False):
+    """Whole HALS W-half (strip GEMM + sweeps) + H-numerator in ONE pass
+    over X.  Returns (w_new, wtx, gram_w); the caller runs the H sweeps
+    against (wtx, gram_w) — e.g. via gs_sweep — and gets the Gram-trick
+    objective for free.  Math identical to solvers/hals.py's
+    xht/fori-sweep path (same epsilon, same sweep order)."""
+    m, n = x.shape
+    k = w.shape[1]
+    if m % bm:
+        raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
+    ni = m // bm
+    hht = h @ h.T
+    ht = h.T
+    lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
+    kern = functools.partial(_hals_iter_kernel, k=k, nsweeps=nsweeps)
+    return pl.pallas_call(
+        kern,
+        grid=(ni,),
+        in_specs=[
+            pl.BlockSpec((bm, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, n), jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n * k + 2 * (1 + nsweeps) * m * k * k,
+            bytes_accessed=m * n * x.dtype.itemsize + (4 * m * k + 2 * k * n) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, ht, hht, w, lam_arr)
+
+
 def gs_sweep(a, g, v, *, lam: float, nsweeps: int, bm: int,
              interpret: bool = False):
     """``nsweeps`` HALS Gauss-Seidel sweeps over the rows of ``v``.

@@ -39,7 +39,12 @@ from ..core.losses import eu_objective_gram
 from ..core.types import MurExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj
-from ..ops.hals_sweep import gs_sweep, gs_sweep_tileable
+from ..ops.hals_sweep import (
+    gs_sweep,
+    gs_sweep_tileable,
+    hals_iter_tileable,
+    hals_iteration_eu,
+)
 from .common import LoopCarry, finalize_history, init_carry, run_loop, while_block
 
 _EPS = 1e-16
@@ -79,12 +84,38 @@ def _hals_sweep_h(h, wtx, wtw, lam, unroll=1):
     jax.jit,
     static_argnames=("min_iter", "max_iter", "inner_sweeps", "objective",
                      "verbose", "sweep_unroll", "use_pallas", "sweep_bm_w",
-                     "sweep_bm_h"),
+                     "sweep_bm_h", "single_pass_bm"),
 )
 def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
                 lambda_h, *, min_iter: int, max_iter: int, inner_sweeps: int,
                 objective: str, verbose: bool, sweep_unroll: int = 1,
-                use_pallas: bool = False, sweep_bm_w=None, sweep_bm_h=None):
+                use_pallas: bool = False, sweep_bm_w=None, sweep_bm_h=None,
+                single_pass_bm=None):
+    def step_single(inner, i):
+        """Whole W-half in ONE pass over X (ops/hals_sweep.py
+        hals_iteration_eu): strip GEMM + in-register sweeps + the
+        H-numerator/W-Gram accumulations; only the (cheap) H sweeps and
+        the free Gram objective remain outside.  Same HBM traffic per
+        iteration as single-pass MUR-EU."""
+        w, h = inner
+        w, wtx, wtw = hals_iteration_eu(x, w, h, lam_w=lambda_w,
+                                        nsweeps=inner_sweeps,
+                                        bm=single_pass_bm)
+        if sweep_bm_h is not None:
+            h = gs_sweep(wtx, wtw, h, lam=lambda_h,
+                         nsweeps=inner_sweeps, bm=sweep_bm_h)
+        else:
+            h = jax.lax.fori_loop(
+                0, inner_sweeps,
+                lambda t, h: _hals_sweep_h(h, wtx, wtw, lambda_h,
+                                           sweep_unroll), h
+            )
+        if objective == "gram":
+            obj = eu_objective_gram(xsq, wtx, wtw, h)
+        else:
+            obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
+        return (w, h), obj
+
     def step(inner, i):
         w, h = inner
         # --- W half: one m*n*k GEMM + k x k Gram, then cheap sweeps
@@ -122,7 +153,8 @@ def _hals_block(x, xsq, carry: LoopCarry, stop_i, tol1, tol2, lambda_w,
             obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
         return (w, h), obj
 
-    return while_block(step, carry, stop_i, tol1, tol2, min_iter=min_iter,
+    chosen = step_single if single_pass_bm is not None else step
+    return while_block(chosen, carry, stop_i, tol1, tol2, min_iter=min_iter,
                        max_iter=max_iter, verbose=verbose)
 
 
@@ -199,11 +231,13 @@ def hals(
     from . import tpu_defaults
 
     use_pallas = tpu_defaults.hals_use_pallas(jax.default_backend())
-    sweep_bm_w = sweep_bm_h = None
+    sweep_bm_w = sweep_bm_h = single_pass_bm = None
     if (tpu_defaults.hals_use_sweep_kernel(jax.default_backend())
             and x.dtype == jnp.float32):
         sweep_bm_w = gs_sweep_tileable(k, x.shape[0])
         sweep_bm_h = gs_sweep_tileable(k, x.shape[1])
+        if tpu_defaults.hals_single_pass(jax.default_backend()):
+            single_pass_bm = hals_iter_tileable(x, k)
     obj0 = eu_residual_obj(x, w, h, use_pallas=use_pallas)
     carry = init_carry(obj0, max_iter, (w, h))
 
@@ -213,6 +247,7 @@ def hals(
         sweep_unroll=sweep_unroll,
         verbose=verbose, use_pallas=use_pallas,
         sweep_bm_w=sweep_bm_w, sweep_bm_h=sweep_bm_h,
+        single_pass_bm=single_pass_bm,
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,

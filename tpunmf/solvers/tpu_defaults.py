@@ -52,6 +52,15 @@ def hals_use_sweep_kernel(backend: str) -> bool:
     return backend == "tpu"
 
 
+def hals_single_pass(backend: str) -> bool:
+    """Whole HALS W-half (strip GEMM + in-register sweeps + H-numerator)
+    in ONE X pass (ops/hals_sweep.hals_iteration_eu) when it tiles —
+    MUR-EU single-pass HBM traffic with HALS convergence.  Off until the
+    hardware run validates compile time and rate (flip after
+    benchmarks/run_r03_validation.sh)."""
+    return False
+
+
 def anls_masked_solver(backend: str) -> str:
     """GEMM-shaped CG vs batched Cholesky for the masked NNLS solves.
 
