@@ -189,6 +189,11 @@ def mur_masked(
             # the kernels compute/emit float32 factors (X/M may stay bf16)
             w = w.astype(jnp.float32)
             h = h.astype(jnp.float32)
+            # a BINARY mask is exact in bf16 — halve its DMA bytes (the
+            # kernels read M alongside X every pass); real-valued weight
+            # masks keep their dtype
+            if bool(jnp.all((mask == 0) | (mask == 1))):
+                mask = mask.astype(jnp.bfloat16)
 
     obj0 = (_masked_kl_obj if distance_type == "kl" else _masked_eu_obj)(
         x, mask, w, h)
