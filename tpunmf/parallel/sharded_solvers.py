@@ -20,9 +20,11 @@ Why two layouts (Ulysses):
     ``all_to_all`` (hoisted before the loop — X is loop-invariant)
     instead of keeping X replicated or paying a psum over partial
     products.  Peak per-device X memory is TWO panels (both layouts stay
-    live across the solve), vs p panels for replication — the
-    layout-switch pattern the beyond-HBM W-update needs (VERDICT
-    round-1 item 5).
+    live across the solve) vs p panels for replication — an IN-CORE
+    layout optimization.  For V genuinely beyond aggregate HBM the
+    answer is not this flip but the streaming path
+    (solvers/streaming_sharded.py) and the rotate-H ring
+    (collectives.ring_xht_rotate_h), where X never moves at all.
 
 Why rank sharding (EP analog):
   * at very large k, replicating W (m x k) and H (k x n) everywhere
@@ -323,8 +325,9 @@ def mur_sharded(
     tol1/tol2 per nmf/utils.py:4-15, objective history, negative-data
     elevation per nmf/mur.py:99-102) — the GSPMD ``mur()`` path stays the
     default; this driver is for workloads that need the explicit layouts
-    (beyond-HBM column panels, very large k).  Returns a ``Results``
-    record with gathered (host) factors.
+    (two-panel in-core footprint, very large k).  For V beyond aggregate
+    HBM use solvers/streaming_sharded.py.  Returns a ``Results`` record
+    with gathered (host) factors.
     """
     import numpy as np
 
