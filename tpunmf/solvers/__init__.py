@@ -7,6 +7,7 @@ from .masked import mur_masked
 from .online import OnlineNMF, online_nmf
 from .semi import semi_nmf
 from .mur import mur
+from .multilevel import multilevel, mur_multilevel
 from .streaming import mur_streaming
 from .transform import inverse_transform, transform
 from .streaming_sharded import mur_streaming_sharded
@@ -20,6 +21,8 @@ __all__ = [
     "ao_admm",
     "hals",
     "mur_masked",
+    "multilevel",
+    "mur_multilevel",
     "OnlineNMF",
     "online_nmf",
     "semi_nmf",
