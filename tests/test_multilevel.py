@@ -75,3 +75,21 @@ def test_multilevel_validation(rng):
         multilevel(x, 3, factor=1)
     with pytest.raises(KeyError):
         multilevel(x, 3, method="anls")
+
+
+def test_multilevel_via_facade(rng):
+    import contextlib
+    import io
+
+    from tpunmf import NMF
+
+    x = np.asarray((rng.random((60, 128)) + 0.02))
+    m = NMF(x, 4)
+    with contextlib.redirect_stdout(io.StringIO()):
+        res = m.factorize(method="hals", multilevel={"levels": 1,
+                                                     "factor": 4},
+                          min_iter=4, max_iter=4, tol1=0.0, tol2=0.0)
+    assert m.w.shape == (60, 4)
+    assert np.isfinite(res.obj_history[-1])
+    with pytest.raises(ValueError):
+        m.factorize(method="admm", multilevel=True)

@@ -84,6 +84,22 @@ class NMF:
                             + " ".join(_METHODS))
         params = {**self.method_params, **method_params}
 
+        # multilevel warm start (arXiv:1009.0881) rides any mur/hals fit:
+        # factorize(method='hals', multilevel={'levels': 2, 'factor': 4})
+        ml = params.pop("multilevel", None)
+        if ml is not None:
+            if method not in ("mur", "hals"):
+                raise ValueError("multilevel= supports methods mur and hals")
+            from .solvers import multilevel as _multilevel
+
+            ml = dict(ml) if not isinstance(ml, bool) else {}
+            self.results = _multilevel(self.data, self.factors,
+                                       method=method, **ml, **params)
+            print("Factorization done.")
+            if saving:
+                self.save_factorization()
+            return self.results
+
         if method == "mur":
             # routing extensions (each None-valued key is simply ignored):
             # schedule= -> explicit-collective layouts, beta= -> generalized
