@@ -391,3 +391,19 @@ class TestHalsSweepKernel:
             jnp.ones((8192, 8192), jnp.float32), 128) is not None
         assert hals_iter_tileable(
             jnp.ones((8192, 8192), jnp.float64), 128) is None
+
+    @pytest.mark.parametrize("nsweeps", [1, 2])
+    def test_fori_variant_matches_unrolled(self, nsweeps):
+        from tpunmf.ops.hals_sweep import gs_sweep
+
+        x, w, h = self._problem()
+        xht = (x @ h.T).astype(jnp.float32)
+        hht = (h @ h.T).astype(jnp.float32)
+        a = gs_sweep(xht.T, hht, w.T, lam=0.1, nsweeps=nsweeps, bm=16,
+                     interpret=True, unrolled=True)
+        b = gs_sweep(xht.T, hht, w.T, lam=0.1, nsweeps=nsweeps, bm=16,
+                     interpret=True, unrolled=False)
+        # same math, different f32 accumulation path (running rank-1
+        # update vs on-demand row dot)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

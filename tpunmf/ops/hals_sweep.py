@@ -56,6 +56,35 @@ def _gs_sweep_kernel(a_ref, g_ref, lam_ref, v_ref, out_ref, *, k: int,
     out_ref[:] = v
 
 
+def _gs_sweep_fori_kernel(a_ref, g_ref, diag_ref, lam_ref, v_ref, out_ref,
+                          *, k: int, nsweeps: int):
+    """Trace-light variant: the column chain as an in-kernel fori_loop.
+
+    Every dynamic access rides the SUBLANE axis (row slices of the
+    (k, *) operands) or SMEM (the Gram diagonal), which Mosaic handles
+    without relayouts; the cross-product row ``g[l, :] @ V`` is computed
+    on demand (k * bm MACs — the same total work as the rank-1 running
+    update, with ~k x smaller traced program than the unrolled form)."""
+    g = g_ref[:]                                      # (k, k)
+    a = a_ref[:]                                      # (k, bm)
+    lam = lam_ref[0, 0]
+
+    def col(l, v):
+        row = jax.lax.dynamic_slice_in_dim(g, l, 1, axis=0)   # (1, k)
+        gll = diag_ref[0, l]
+        al = jax.lax.dynamic_slice_in_dim(a, l, 1, axis=0)    # (1, bm)
+        vl = jax.lax.dynamic_slice_in_dim(v, l, 1, axis=0)
+        numer = al - jnp.dot(row, v, preferred_element_type=jnp.float32) \
+            + gll * vl
+        new = jnp.maximum(numer / (gll + lam + _EPS), 0.0)
+        return jax.lax.dynamic_update_slice_in_dim(v, new, l, axis=0)
+
+    def sweep(t, v):
+        return jax.lax.fori_loop(0, k, col, v)
+
+    out_ref[:] = jax.lax.fori_loop(0, nsweeps, sweep, v_ref[:])
+
+
 def gs_sweep_tileable(k: int, mdim: int) -> int | None:
     """Strip width bm for the sweep kernel, or None if it can't engage.
 
@@ -181,34 +210,45 @@ def hals_iteration_eu(x, w, h, *, lam_w: float, nsweeps: int, bm: int,
 
 
 def gs_sweep(a, g, v, *, lam: float, nsweeps: int, bm: int,
-             interpret: bool = False):
+             interpret: bool = False, unrolled: bool = True):
     """``nsweeps`` HALS Gauss-Seidel sweeps over the rows of ``v``.
 
     a, v: (k, M) transposed-frame numerator and factor; g: (k, k) Gram.
     Returns the updated (k, M) factor.  M must be divisible by ``bm``.
-    """
+    ``unrolled=False`` selects the fori_loop kernel body (same math,
+    ~k x smaller traced program — the fallback if the unrolled chain
+    compiles slowly on a given toolchain)."""
     k, mdim = v.shape
     if mdim % bm:
         raise ValueError(f"bm={bm} must divide M={mdim}")
     grid = (mdim // bm,)
     strip = pl.BlockSpec((k, bm), lambda i: (0, i), memory_space=pltpu.VMEM)
     lam_arr = jnp.reshape(jnp.asarray(lam, dtype=jnp.float32), (1, 1))
-    kern = functools.partial(_gs_sweep_kernel, k=k, nsweeps=nsweeps)
+    cost = pl.CostEstimate(
+        flops=2 * k * k * mdim * (1 + nsweeps),
+        bytes_accessed=(3 * k * mdim + k * k) * 4,
+        transcendentals=0,
+    )
+    gram_spec = pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    lam_spec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    if unrolled:
+        kern = functools.partial(_gs_sweep_kernel, k=k, nsweeps=nsweeps)
+        in_specs = [strip, gram_spec, lam_spec, strip]
+        args = (a, g, lam_arr, v)
+    else:
+        kern = functools.partial(_gs_sweep_fori_kernel, k=k, nsweeps=nsweeps)
+        diag = jnp.reshape(jnp.diagonal(g), (1, k)).astype(jnp.float32)
+        in_specs = [strip, gram_spec,
+                    pl.BlockSpec((1, k), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    lam_spec, strip]
+        args = (a, g, diag, lam_arr, v)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            strip,
-            pl.BlockSpec((k, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            strip,
-        ],
+        in_specs=in_specs,
         out_specs=strip,
         out_shape=jax.ShapeDtypeStruct((k, mdim), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * k * k * mdim * (1 + nsweeps),
-            bytes_accessed=(3 * k * mdim + k * k) * 4,
-            transcendentals=0,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
-    )(a, g, lam_arr, v)
+    )(*args)
