@@ -5,6 +5,7 @@ from .ao_admm import ao_admm
 from .hals import hals
 from .masked import mur_masked
 from .online import OnlineNMF, online_nmf
+from .onmf import onmf, orthogonality_residual
 from .semi import semi_nmf
 from .mur import mur
 from .multilevel import multilevel, mur_multilevel
@@ -23,6 +24,8 @@ __all__ = [
     "mur_masked",
     "multilevel",
     "mur_multilevel",
+    "onmf",
+    "orthogonality_residual",
     "OnlineNMF",
     "online_nmf",
     "semi_nmf",
