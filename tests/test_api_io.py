@@ -69,7 +69,8 @@ def test_unknown_method_raises(lowrank_data):
     except Exception as e:
         raised = True
         # the error must list the REAL dispatch set (api._METHODS)
-        for name in ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf"):
+        for name in ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf",
+                     "onmf"):
             assert name in str(e)
     assert raised
 
@@ -81,7 +82,7 @@ def test_methods_constant_matches_dispatch(lowrank_data):
     from tpunmf.api import _METHODS
 
     assert set(_METHODS) == {"mur", "anls", "admm", "ao_admm", "hals",
-                             "semi_nmf"}
+                             "semi_nmf", "onmf"}
     x = np.abs(lowrank_data)
     for method in _METHODS:
         model = NMF(x, 3)

@@ -43,6 +43,9 @@ def _solver_params(args) -> dict:
             args.distance_type is not None or args.nndsvd is not None):
         # semi-NMF is Euclidean with its own exact-LS W init
         raise SystemExit("--distance-type/--nndsvd do not apply to semi_nmf")
+    if args.method == "onmf" and args.distance_type is not None:
+        raise SystemExit("--distance-type does not apply to onmf "
+                         "(Euclidean by construction)")
     for name in ("distance_type", "max_iter", "min_iter", "tol1", "tol2"):
         val = getattr(args, name)
         if val is not None:

@@ -28,7 +28,7 @@ from .io.npz import load_results, save_results
 # the single source of truth for factorize()'s dispatch — validated up
 # front and used to build the unknown-method error message, so it cannot
 # drift from the real dispatch list (tests/test_api.py pins the set)
-_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf")
+_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf", "onmf")
 
 
 class NMF:
@@ -153,12 +153,17 @@ class NMF:
             from .solvers import hals as _hals
 
             self.results = _hals(self.data, self.factors, **params)
-        else:
-            # validated above, so this branch is semi_nmf
-            # (beyond-reference: mixed-sign data, W free / H >= 0)
+        elif method == "semi_nmf":
+            # beyond-reference: mixed-sign data, W free / H >= 0
             from .solvers import semi_nmf as _semi_nmf
 
             self.results = _semi_nmf(self.data, self.factors, **params)
+        else:
+            # validated above, so this branch is onmf
+            # (beyond-reference: orthogonality-constrained clustering NMF)
+            from .solvers import onmf as _onmf
+
+            self.results = _onmf(self.data, self.factors, **params)
 
         print("Factorization done.")
         if saving:
