@@ -157,3 +157,11 @@ def test_fit_and_fit_transform(lowrank_data):
     import numpy as np
 
     assert np.asarray(w).shape == (lowrank_data.shape[0], 4)
+
+
+def test_sklearn_aliases(lowrank_data):
+    model = _factorize_small(lowrank_data)
+    np.testing.assert_allclose(model.components_, model.h)
+    assert model.reconstruction_err_ == float(model.results.obj_history[-1])
+    empty = NMF(lowrank_data, 3)
+    assert empty.components_ is None and empty.reconstruction_err_ is None

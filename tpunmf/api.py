@@ -71,6 +71,19 @@ class NMF:
     def h(self):
         return None if self.results is None else self.results.h
 
+    # sklearn-style aliases (migration convenience)
+    @property
+    def components_(self):
+        """sklearn alias: the (k, n) coefficient matrix H."""
+        return self.h
+
+    @property
+    def reconstruction_err_(self):
+        """sklearn alias: the final recorded objective value."""
+        if self.results is None:
+            return None
+        return float(self.results.obj_history[-1])
+
     def factorize(self, method: str = "mur", saving: bool = False, **method_params):
         """Compute the factorization.
 
