@@ -2,6 +2,7 @@ from .admm import admm
 from .anls import anls
 from .beta import beta_divergence, mur_beta
 from .ao_admm import ao_admm
+from .gnmf import gnmf, knn_graph
 from .hals import hals
 from .masked import mur_masked
 from .online import OnlineNMF, online_nmf
@@ -21,6 +22,8 @@ __all__ = [
     "admm",
     "ao_admm",
     "hals",
+    "gnmf",
+    "knn_graph",
     "mur_masked",
     "multilevel",
     "mur_multilevel",
