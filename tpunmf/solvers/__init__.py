@@ -1,6 +1,7 @@
 from .admm import admm
 from .anls import anls
 from .beta import beta_divergence, mur_beta
+from .convex import convex_nmf
 from .ao_admm import ao_admm
 from .gnmf import gnmf, knn_graph
 from .hals import hals
@@ -20,6 +21,7 @@ __all__ = [
     "beta_divergence",
     "anls",
     "admm",
+    "convex_nmf",
     "ao_admm",
     "hals",
     "gnmf",
