@@ -10,6 +10,7 @@ from .online import OnlineNMF, online_nmf
 from .onmf import onmf, orthogonality_residual
 from .semi import semi_nmf
 from .mur import mur
+from .nmtf import nmtf
 from .multilevel import multilevel, mur_multilevel
 from .streaming import mur_streaming
 from .transform import inverse_transform, transform
@@ -28,6 +29,7 @@ __all__ = [
     "knn_graph",
     "mur_masked",
     "multilevel",
+    "nmtf",
     "mur_multilevel",
     "onmf",
     "orthogonality_residual",
