@@ -13,6 +13,7 @@ from .mur import mur
 from .nmtf import nmtf
 from .multilevel import multilevel, mur_multilevel
 from .streaming import mur_streaming
+from .symnmf import symnmf
 from .transform import inverse_transform, transform
 from .streaming_sharded import mur_streaming_sharded
 
@@ -37,6 +38,7 @@ __all__ = [
     "online_nmf",
     "semi_nmf",
     "mur_streaming",
+    "symnmf",
     "transform",
     "inverse_transform",
     "mur_streaming_sharded",
