@@ -93,3 +93,15 @@ def test_multilevel_via_facade(rng):
     assert np.isfinite(res.obj_history[-1])
     with pytest.raises(ValueError):
         m.factorize(method="admm", multilevel=True)
+
+
+def test_axis0_lambda_swap(rng):
+    """A lone lambda_w on axis=0 must regularize only the (transposed)
+    W — i.e. behave like lambda_h on the transposed problem."""
+    x = (rng.random((128, 30)) + 0.02)
+    a = multilevel(x, 3, method="hals", levels=1, factor=4, axis=0,
+                   lambda_w=0.5, min_iter=4, max_iter=4, tol1=0.0, tol2=0.0)
+    b = multilevel(x.T, 3, method="hals", levels=1, factor=4, axis=1,
+                   lambda_h=0.5, min_iter=4, max_iter=4, tol1=0.0, tol2=0.0)
+    np.testing.assert_allclose(a.w, b.h.T, rtol=1e-10)
+    np.testing.assert_allclose(a.h, b.w.T, rtol=1e-10)

@@ -90,13 +90,20 @@ def multilevel(
     if factor < 2:
         raise ValueError("factor must be >= 2")
     if axis == 0:
+        # transposition swaps the factor roles, so the per-factor
+        # regularizers swap too (remove-then-reinsert: a lone lambda_w
+        # must become lambda_h, not apply to both)
+        sw = dict(params)
+        lw = sw.pop("lambda_w", None)
+        lh = sw.pop("lambda_h", None)
+        if lh is not None:
+            sw["lambda_w"] = lh
+        if lw is not None:
+            sw["lambda_h"] = lw
         res = multilevel(
             jnp.asarray(x).T, k, method=method, levels=levels,
             factor=factor, coarse_iters=coarse_iters, axis=1, key=key,
-            **{**params,
-               **{a: params[b] for a, b in
-                  (("lambda_w", "lambda_h"), ("lambda_h", "lambda_w"))
-                  if b in params}},
+            **sw,
         )
         exp = res.experiment
         return Results(w=res.h.T, h=res.w.T, i=res.i,
