@@ -116,13 +116,11 @@ def convex_nmf(
             raise ValueError(f"w_init/g_init must be ({n}, {k})")
     else:
         kk = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(kk)
         # paper §IV-C: cluster-indicator-like init smoothed by +0.2
-        g = jnp.abs(jax.random.normal(k1, (n, k), dtype=x.dtype)) + 0.2
+        g = jnp.abs(jax.random.normal(kk, (n, k), dtype=x.dtype)) + 0.2
         # W starts as (column-normalized) G so X W begins at the G-weighted
         # column centroids (the paper's W0 = G0 D^-1)
         w = g / (jnp.sum(g, axis=0, keepdims=True) + _EPS)
-        del k2
 
     carry = init_carry(_convex_obj(trk, kp, km, w, g), max_iter, (w, g))
     run = lambda c, stop: _convex_block(
