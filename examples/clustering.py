@@ -61,8 +61,13 @@ res = gnmf(x, 3, a, lambda_g=0.5, min_iter=100, max_iter=100,
 print(f"GNMF: final regularized objective {res.obj_history[-1]:.3f}")
 
 # --- multilevel warm start: coarse-to-fine HALS -----------------------
-warm = multilevel(x, 3, method="hals", levels=1, factor=4,
-                  min_iter=10, max_iter=10, tol1=0.0, tol2=0.0)
-cold = hals(x, 3, min_iter=10, max_iter=10, tol1=0.0, tol2=0.0)
+# its regime: a LARGE low-rank matrix where coarse-level iterations are
+# cheap relative to the fine problem
+big = (rng.random((200, 2048)) ** 2)
+big = (big[:, :6] @ rng.random((6, 2048))) + 0.01 * rng.random((200, 2048))
+warm = multilevel(big, 6, method="hals", levels=2, factor=4,
+                  coarse_iters=150, min_iter=8, max_iter=8,
+                  tol1=0.0, tol2=0.0)
+cold = hals(big, 6, min_iter=8, max_iter=8, tol1=0.0, tol2=0.0)
 print(f"Multilevel: obj {warm.obj_history[-1]:.3f} vs cold "
       f"{cold.obj_history[-1]:.3f} after the same fine budget")
