@@ -88,13 +88,24 @@ def main():
 
         rec["it_per_s"] = round(two_point_rate(call, 5, 300), 2)
 
-    elif which in ("hals_headline", "hals_single_pass_headline"):
+    elif which in ("hals_headline", "hals_single_pass_headline",
+                   "hals_headline_fori"):
         from tpunmf.solvers import hals
 
         if which == "hals_single_pass_headline":
             from tpunmf.solvers import tpu_defaults as td
 
             td.hals_single_pass = lambda backend: True
+        if which == "hals_headline_fori":
+            # A/B the trace-light fori sweep body against the unrolled one
+            import importlib
+
+            hals_mod = importlib.import_module("tpunmf.solvers.hals")
+            import tpunmf.ops.hals_sweep as hs
+
+            orig = hs.gs_sweep
+            hals_mod.gs_sweep = lambda *a, **k2: orig(
+                *a, **{**k2, "unrolled": False})
 
         m, n, k = 8192, 8192, 128
         key = jax.random.PRNGKey(3)

@@ -40,6 +40,7 @@ step sweep_dma_f32 2400 python benchmarks/sweep_dma.py --dtype f32
 # 5. HALS at headline scale (sweep kernel vs round-2's 99 it/s), then
 #    the single-pass variant (one X read per outer iteration)
 step hals_headline 1800 python benchmarks/rate_probe.py hals_headline $RATES
+step hals_fori 1800 python benchmarks/rate_probe.py hals_headline_fori $RATES
 step hals_single_pass 1800 python benchmarks/rate_probe.py hals_single_pass_headline $RATES
 step mur_eu_headline 1800 python benchmarks/rate_probe.py mur_eu_headline $RATES
 
