@@ -82,14 +82,17 @@ def test_methods_constant_matches_dispatch(lowrank_data):
     from tpunmf.api import _METHODS
 
     assert set(_METHODS) == {"mur", "anls", "admm", "ao_admm", "hals",
-                             "semi_nmf", "onmf"}
+                             "semi_nmf", "onmf", "ntf"}
     x = np.abs(lowrank_data)
     for method in _METHODS:
         model = NMF(x, 3)
         with contextlib.redirect_stdout(io.StringIO()):
             res = model.factorize(method=method, min_iter=2, max_iter=3,
                                   tol1=0.0, tol2=0.0)
-        assert res.w.shape == (x.shape[0], 3)
+        if method == "ntf":  # 2-way CP: mode-0 factor plays W's role
+            assert res.factors[0].shape == (x.shape[0], 3)
+        else:
+            assert res.w.shape == (x.shape[0], 3)
 
     import tpunmf.__main__ as cli
 

@@ -1,0 +1,129 @@
+"""NTF (CP/PARAFAC) solver tests — correctness against brute-force
+reconstructions, monotonicity, N-way generality, persistence."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpunmf.solvers import cp_reconstruct, mttkrp, ntf
+
+
+def _rand_cp(shape, k, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed)
+    factors = [np.abs(rng.standard_normal((s, k))).astype(dtype) for s in shape]
+    x = np.asarray(cp_reconstruct([jnp.asarray(f) for f in factors]))
+    return x, factors
+
+
+def test_mttkrp_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    x = np.abs(rng.standard_normal((5, 4, 3)))
+    a, b, c = (np.abs(rng.standard_normal((s, 2))) for s in x.shape)
+    got = np.asarray(mttkrp(jnp.asarray(x), [jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)], 0))
+    want = np.einsum("ijk,jr,kr->ir", x, b, c)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    got1 = np.asarray(mttkrp(jnp.asarray(x), [jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)], 1))
+    want1 = np.einsum("ijk,ir,kr->jr", x, a, c)
+    np.testing.assert_allclose(got1, want1, rtol=1e-12)
+
+
+@pytest.mark.parametrize("update", ["mur", "hals"])
+def test_exact_rank_recovery_eu(update):
+    x, _ = _rand_cp((12, 10, 8), 3, seed=2)
+    iters = 3000 if update == "mur" else 400  # MUR's tail is slow
+    res = ntf(x, 3, update=update, max_iter=iters, min_iter=50,
+              tol1=1e-12, tol2=1e-12)
+    xhat = np.asarray(cp_reconstruct([jnp.asarray(f) for f in res.factors]))
+    rel = np.linalg.norm(x - xhat) / np.linalg.norm(x)
+    assert rel < 1e-3
+    assert all((f >= 0).all() for f in res.factors)
+
+
+def test_mur_eu_monotone():
+    rng = np.random.default_rng(3)
+    x = np.abs(rng.standard_normal((9, 8, 7)))
+    res = ntf(x, 4, update="mur", max_iter=60, min_iter=60, tol1=0, tol2=0)
+    hist = np.asarray(res.obj_history)
+    assert np.all(np.diff(hist) <= 1e-8 * np.maximum(1.0, np.abs(hist[:-1])))
+
+
+def test_mur_kl_monotone_and_decreases():
+    rng = np.random.default_rng(4)
+    x = np.abs(rng.standard_normal((8, 7, 6)))
+    res = ntf(x, 3, distance_type="kl", max_iter=50, min_iter=50,
+              tol1=0, tol2=0)
+    hist = np.asarray(res.obj_history)
+    assert hist[-1] < hist[0]
+    assert np.all(np.diff(hist) <= 1e-6 * np.maximum(1.0, np.abs(hist[:-1])))
+
+
+def test_four_way_and_matrix_reduction():
+    # 4-way smoke
+    x, _ = _rand_cp((6, 5, 4, 3), 2, seed=5)
+    res = ntf(x, 2, max_iter=200, tol1=1e-10, tol2=1e-10)
+    assert len(res.factors) == 4
+    xhat = np.asarray(cp_reconstruct([jnp.asarray(f) for f in res.factors]))
+    assert np.linalg.norm(x - xhat) / np.linalg.norm(x) < 1e-2
+
+    # N == 2 reduces to plain NMF (mode-1 factor is H^T)
+    rng = np.random.default_rng(6)
+    m = np.abs(rng.standard_normal((20, 15)))
+    res2 = ntf(m, 5, max_iter=100)
+    w, ht = res2.factors
+    assert w.shape == (20, 5) and ht.shape == (15, 5)
+    assert np.linalg.norm(m - w @ ht.T) / np.linalg.norm(m) < 1.0
+
+
+def test_normalize_equilibrates_without_changing_objective():
+    x, _ = _rand_cp((10, 9, 8), 3, seed=7)
+    kw = dict(max_iter=40, min_iter=40, tol1=0, tol2=0)
+    res_n = ntf(x, 3, normalize=True, **kw)
+    res_u = ntf(x, 3, normalize=False, **kw)
+    np.testing.assert_allclose(np.asarray(res_n.obj_history),
+                               np.asarray(res_u.obj_history),
+                               rtol=1e-6, atol=1e-8)
+    norms = [np.linalg.norm(f, axis=0) for f in res_n.factors]
+    # all modes carry comparable column magnitudes after equilibration
+    ratio = np.max(norms) / max(np.min(norms), 1e-30)
+    assert ratio < 10.0
+
+
+def test_explicit_init_and_validation():
+    x, factors = _rand_cp((7, 6, 5), 2, seed=8)
+    res = ntf(x, 2, factors_init=factors, max_iter=20)
+    assert res.experiment.method == "ntf"
+    with pytest.raises(ValueError):
+        ntf(x, 2, factors_init=factors[:2])
+    with pytest.raises(ValueError):
+        ntf(x, 2, distance_type="kl", update="hals")
+    with pytest.raises(ValueError):
+        ntf(-x, 2)
+    with pytest.raises(ValueError):
+        ntf(x, 2, lambdas=[0.1, 0.1])  # wrong length
+
+
+def test_ridge_shrinks_factors():
+    x, _ = _rand_cp((10, 8, 6), 2, seed=9)
+    kw = dict(max_iter=100, min_iter=100, tol1=0, tol2=0, normalize=False)
+    res0 = ntf(x, 2, lambdas=[0.0, 0.0, 0.0], **kw)
+    res1 = ntf(x, 2, lambdas=[5.0, 5.0, 5.0], **kw)
+    n0 = sum(np.linalg.norm(f) for f in res0.factors)
+    n1 = sum(np.linalg.norm(f) for f in res1.factors)
+    assert n1 < n0
+
+
+def test_facade_route_and_persistence(tmp_path):
+    from tpunmf import NMF
+    from tpunmf.io.npz import load_ntf_results
+
+    x, _ = _rand_cp((8, 7, 6), 2, seed=10)
+    model = NMF(x, 2)
+    res = model.factorize(method="ntf", max_iter=30)
+    assert len(res.factors) == 3
+    assert model.w is None and model.h is None  # no 2-D factors for tensors
+    assert model.reconstruction_err_ == pytest.approx(res.obj_history[-1])
+    path = model.save_factorization(save_dir=str(tmp_path))
+    loaded = load_ntf_results(path)
+    assert len(loaded["factors"]) == 3
+    np.testing.assert_allclose(loaded["factors"][0], res.factors[0])
+    assert loaded["experiment"]["method"] == "ntf"

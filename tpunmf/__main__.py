@@ -18,6 +18,8 @@ def _add_common(p: argparse.ArgumentParser) -> None:
 
     p.add_argument("-m", "--method", default="mur", choices=list(_METHODS))
     p.add_argument("--distance-type", default=None, choices=["eu", "kl"])
+    p.add_argument("--ntf-update", default=None, choices=["mur", "hals"],
+                   help="CP update family for -m ntf")
     p.add_argument("--beta", type=float, default=None,
                    help="beta-divergence objective for mur (0=IS, 1=KL, 2=EU)")
     p.add_argument("--max-iter", type=int, default=None)
@@ -46,6 +48,11 @@ def _solver_params(args) -> dict:
     if args.method == "onmf" and args.distance_type is not None:
         raise SystemExit("--distance-type does not apply to onmf "
                          "(Euclidean by construction)")
+    if args.method == "ntf":
+        if args.nndsvd is not None:
+            raise SystemExit("--nndsvd does not apply to ntf (random CP init)")
+        if getattr(args, "ntf_update", None):
+            params["update"] = args.ntf_update
     for name in ("distance_type", "max_iter", "min_iter", "tol1", "tol2"):
         val = getattr(args, name)
         if val is not None:
@@ -71,7 +78,9 @@ def cmd_factorize(args) -> int:
     from tpunmf import NMF
     from tpunmf.data import load_matrix
 
-    data = load_matrix(args.data, key=args.key)
+    # ntf consumes the tensor natively — never flatten 3-D stacks for it
+    data = load_matrix(args.data, key=args.key,
+                       flatten=(args.method != "ntf"))
     model = NMF(data, args.factors, param_file=args.param_file)
     results = model.factorize(method=args.method, **_solver_params(args))
     print(json.dumps({

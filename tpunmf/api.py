@@ -28,7 +28,7 @@ from .io.npz import load_results, save_results
 # the single source of truth for factorize()'s dispatch — validated up
 # front and used to build the unknown-method error message, so it cannot
 # drift from the real dispatch list (tests/test_api.py pins the set)
-_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf", "onmf")
+_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf", "onmf", "ntf")
 
 
 class NMF:
@@ -62,14 +62,15 @@ class NMF:
                 return
             self.method_params = dict(parameters.method_params)
 
-    # factors as documented attributes (contract fix vs reference)
+    # factors as documented attributes (contract fix vs reference);
+    # getattr because N-way (ntf) results carry .factors instead of .w/.h
     @property
     def w(self):
-        return None if self.results is None else self.results.w
+        return None if self.results is None else getattr(self.results, "w", None)
 
     @property
     def h(self):
-        return None if self.results is None else self.results.h
+        return None if self.results is None else getattr(self.results, "h", None)
 
     # sklearn-style aliases (migration convenience)
     @property
@@ -171,12 +172,18 @@ class NMF:
             from .solvers import semi_nmf as _semi_nmf
 
             self.results = _semi_nmf(self.data, self.factors, **params)
-        else:
-            # validated above, so this branch is onmf
-            # (beyond-reference: orthogonality-constrained clustering NMF)
+        elif method == "onmf":
+            # beyond-reference: orthogonality-constrained clustering NMF
             from .solvers import onmf as _onmf
 
             self.results = _onmf(self.data, self.factors, **params)
+        else:
+            # validated above, so this branch is ntf — beyond-reference
+            # native CP/PARAFAC for N-way data (the legacy CLI instead
+            # flattened 3-D stacks to 2-D, reference: nmf/nmf_old.py:40-42)
+            from .solvers import ntf as _ntf
+
+            self.results = _ntf(self.data, self.factors, **params)
 
         print("Factorization done.")
         if saving:
@@ -223,6 +230,11 @@ class NMF:
     def default_save_name(self) -> str:
         """Parameter-encoded save name, grammar-identical to nmf/nmf.py:95-126."""
         exp = self.results.experiment
+        if exp.method == "ntf":
+            # no reference grammar exists for tensors; keep it parameter-
+            # encoding in the same spirit
+            return (f"ntf_{exp.components}_{exp.distance_type}_{exp.update}"
+                    + "_" + "x".join(str(len(f)) for f in self.results.factors))
         save_name = f"nmf_{exp.method}"
         save_name += f"_{self.factors}"
         save_name += f"_{exp.distance_type}"
@@ -254,6 +266,16 @@ class NMF:
         if save_name is None:
             save_name = self.default_save_name()
         save_str = os.path.join(save_dir, save_name)
+        if getattr(self.results.experiment, "method", None) == "ntf":
+            from .io.npz import save_ntf_results
+
+            return save_ntf_results(
+                save_str,
+                factors=self.results.factors,
+                i=self.results.i,
+                obj_history=self.results.obj_history,
+                experiment=self.results.experiment._asdict(),
+            )
         return save_results(
             save_str,
             w=self.results.w,

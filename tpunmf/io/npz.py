@@ -20,6 +20,36 @@ def save_results(save_str: str, w, h, i, obj_history, experiment) -> str:
     return path
 
 
+def save_ntf_results(save_str: str, factors, i, obj_history, experiment) -> str:
+    """Save an N-way CP factorization (keys ``factor0..factorN-1``).
+
+    Same envelope as :func:`save_results` (i/obj_history/experiment), but
+    the factor list replaces w/h — there is no reference format to match
+    (the reference has no tensor path).
+    """
+    payload = {f"factor{d}": np.asarray(f) for d, f in enumerate(factors)}
+    np.savez(save_str, i=i, obj_history=np.asarray(obj_history),
+             experiment=experiment, n_modes=len(factors), **payload)
+    path = save_str if str(save_str).endswith(".npz") else f"{save_str}.npz"
+    print("Results saved in {}.".format(save_str))
+    return path
+
+
+def load_ntf_results(path: str) -> dict:
+    """Load an N-way CP factorization saved by :func:`save_ntf_results`."""
+    if not str(path).endswith(".npz"):
+        path = f"{path}.npz"
+    with np.load(path, allow_pickle=True) as f:
+        n = int(f["n_modes"])
+        out = {
+            "factors": [f[f"factor{d}"] for d in range(n)],
+            "i": int(f["i"]),
+            "obj_history": list(f["obj_history"]),
+            "experiment": f["experiment"].item() if f["experiment"].shape == () else f["experiment"],
+        }
+    return out
+
+
 def load_results(path: str) -> dict:
     """Load a results .npz (ours or the reference's) into a plain dict."""
     if not str(path).endswith(".npz"):

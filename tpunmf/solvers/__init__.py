@@ -11,6 +11,7 @@ from .onmf import onmf, orthogonality_residual
 from .semi import semi_nmf
 from .mur import mur
 from .nmtf import nmtf
+from .ntf import NtfResults, cp_reconstruct, mttkrp, ntf
 from .multilevel import multilevel, mur_multilevel
 from .streaming import mur_streaming
 from .symnmf import symnmf
@@ -31,6 +32,10 @@ __all__ = [
     "mur_masked",
     "multilevel",
     "nmtf",
+    "ntf",
+    "NtfResults",
+    "mttkrp",
+    "cp_reconstruct",
     "mur_multilevel",
     "onmf",
     "orthogonality_residual",
