@@ -182,3 +182,80 @@ def test_topk_streaming_starved_returns_sentinels(rng):
     assert starved.sum() == b * (k - 4)
     assert np.all(idx[starved] == -1)
     assert np.all(idx[~starved] < 4)  # the real hits are the valid items
+
+
+def test_quantized_first_stage_single_device(rng):
+    """bf16 stage-1 + exact f32 rescore: with clearly separated top
+    scores the result must EQUAL the exact path (quantization can only
+    demote items that fall outside the oversampled candidate set)."""
+    import jax.numpy as jnp
+    from tpunmf.serve import topk_retrieval
+
+    b, r, n, k = 4, 8, 256, 5
+    w = rng.random((b, r)).astype(np.float32)
+    h = rng.random((r, n)).astype(np.float32)
+    # plant well-separated winners so bf16 cannot mis-rank across the
+    # candidate boundary
+    h[:, :k * 2] += np.linspace(3.0, 1.0, k * 2)[None, :]
+    v_ex, i_ex = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k)
+    v_q, i_q = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
+                              first_stage_dtype="bf16", oversample=4)
+    np.testing.assert_array_equal(np.asarray(i_q), np.asarray(i_ex))
+    np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_ex), rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        topk_retrieval(None, w, h, k, first_stage_dtype="int4")
+
+
+def test_quantized_first_stage_with_exclusion(rng):
+    import jax.numpy as jnp
+    from tpunmf.serve import topk_retrieval
+
+    b, r, n, k = 3, 6, 128, 4
+    w = rng.random((b, r)).astype(np.float32)
+    h = rng.random((r, n)).astype(np.float32)
+    exclude = np.zeros((b, n), dtype=bool)
+    exclude[:, 64:] = True
+    _, idx = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
+                            exclude=jnp.asarray(exclude),
+                            first_stage_dtype="bf16", oversample=8)
+    assert np.all(np.asarray(idx) < 64)
+
+
+def test_quantized_first_stage_sharded(rng):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpunmf.serve import topk_retrieval
+
+    b, r, n, k = 4, 6, 256, 6
+    w = rng.random((b, r)).astype(np.float32)
+    h = rng.random((r, n)).astype(np.float32)
+    h[:, ::17] += np.arange(1, (n + 16) // 17 + 1)[: h[:, ::17].shape[1]][None, :] * 0.5
+    mesh = build_mesh(shape=(8,), axis_names=("cols",))
+    hs = jax.device_put(jnp.asarray(h), NamedSharding(mesh, P(None, "cols")))
+    v_ex, i_ex = topk_retrieval(mesh, jnp.asarray(w), hs, k)
+    v_q, i_q = topk_retrieval(mesh, jnp.asarray(w), hs, k,
+                              first_stage_dtype="bf16", oversample=6)
+    rec = recall_at_k(np.asarray(i_q), np.asarray(i_ex))
+    assert rec >= 0.9
+    # scores of the agreed items are exact f32
+    agreed = np.asarray(i_q) == np.asarray(i_ex)
+    np.testing.assert_allclose(np.asarray(v_q)[agreed],
+                               np.asarray(v_ex)[agreed], rtol=1e-6)
+
+
+def test_quantized_streaming_forwarding(rng):
+    from tpunmf.serve import topk_streaming
+
+    b, r, n, k = 3, 8, 150, 5
+    w = rng.random((b, r)).astype(np.float32)
+    h = rng.random((r, n)).astype(np.float32)
+    h[:, :k * 3] += np.linspace(2.0, 0.5, k * 3)[None, :]
+    v_q, i_q = topk_streaming(w, h, n, k, panel_cols=50,
+                              first_stage_dtype="bf16", oversample=5)
+    scores = w @ h
+    expect_idx = np.argsort(-scores, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.sort(np.asarray(i_q), axis=1),
+                                  np.sort(expect_idx, axis=1))

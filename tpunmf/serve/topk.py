@@ -29,6 +29,42 @@ def topk_scores_dense(w_batch, h, k: int):
     return jax.lax.top_k(scores, k)
 
 
+_FIRST_STAGE_DTYPES = {"bf16": jnp.bfloat16, "f16": jnp.float16}
+
+
+@partial(jax.jit, static_argnames=("k", "dtype_name", "oversample",
+                                   "recall_target"))
+def _quantized_rerank(w_batch, h, k: int, dtype_name: str, oversample: int,
+                      recall_target: float, exclude=None):
+    """Two-stage retrieve-then-rerank with a quantized first stage.
+
+    Stage 1 scores EVERY item in a low-precision dtype (half the HBM
+    traffic of f32 scoring — the scoring pass is bandwidth-bound at
+    serving batch sizes) and keeps ``oversample * k`` candidates; stage 2
+    gathers just those candidates' f32 columns and re-scores exactly, so
+    quantization can only demote items whose f32 score falls below the
+    (oversample*k)-th candidate — near-ties inside the candidate set are
+    ranked at full precision.
+    """
+    q = _FIRST_STAGE_DTYPES[dtype_name]
+    n = h.shape[1]
+    c = min(oversample * k, n)
+    scores_q = (w_batch.astype(q) @ h.astype(q)).astype(jnp.float32)
+    if exclude is not None:
+        scores_q = jnp.where(exclude, -jnp.inf, scores_q)
+    if recall_target < 1.0:
+        _, cand = jax.lax.approx_max_k(scores_q, c, recall_target=recall_target)
+    else:
+        _, cand = jax.lax.top_k(scores_q, c)              # (b, c)
+    h_cand = jnp.take(h.T, cand, axis=0)                  # (b, c, r)
+    scores = jnp.einsum("br,bcr->bc", w_batch, h_cand)    # exact rescore
+    if exclude is not None:
+        excl_cand = jnp.take_along_axis(exclude, cand, axis=1)
+        scores = jnp.where(excl_cand, -jnp.inf, scores)
+    vals, pos = jax.lax.top_k(scores, k)
+    return vals, jnp.take_along_axis(cand, pos, axis=1)
+
+
 # jitted retrieval callables cached per (mesh, k, n, with-exclusion) —
 # serving must not re-trace per request.  Bounded LRU so long-lived
 # serving processes that cycle through meshes/configs don't pin dead
@@ -40,15 +76,30 @@ _RETRIEVAL_CACHE_MAX = 32
 
 
 def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
-                             recall_target: float = 1.0):
+                             recall_target: float = 1.0,
+                             first_stage_dtype: str | None = None,
+                             oversample: int = 4):
     n_shards = mesh.shape["cols"]
     n_local = n // n_shards
 
     def f(w_b, h_loc, excl_loc=None):
+        kk = min(k, n_local)
+        if first_stage_dtype is not None:
+            # quantized stage-1 scoring + exact local rescore of the
+            # oversampled candidates (see _quantized_rerank)
+            vals, idx = _quantized_rerank(
+                w_b, h_loc, kk, first_stage_dtype, oversample,
+                recall_target, exclude=excl_loc)
+            offset = jax.lax.axis_index("cols") * n_local
+            idx = idx + offset
+            all_vals = jax.lax.all_gather(vals, "cols", axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(idx, "cols", axis=1, tiled=True)
+            out_vals, pos = jax.lax.top_k(all_vals, k)
+            out_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+            return out_vals, out_idx
         scores = w_b @ h_loc  # (b, n_local)
         if excl_loc is not None:
             scores = jnp.where(excl_loc, -jnp.inf, scores)
-        kk = min(k, n_local)
         if recall_target < 1.0:
             # TPU-native approximate top-k (bitonic partial reduce):
             # much cheaper than the full sort at large n_local, with the
@@ -84,7 +135,9 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
 
 
 def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
-                   recall_target: float = 1.0):
+                   recall_target: float = 1.0,
+                   first_stage_dtype: str | None = None,
+                   oversample: int = 4):
     """Top-k item retrieval for a batch of user factors.
 
     Args:
@@ -100,13 +153,25 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
         partial reduction with that expected per-shard recall — the
         "approximate top-k kernel" of the BASELINE north star, for item
         counts where the full per-shard sort dominates.
+      first_stage_dtype: None (exact f32 scoring) or 'bf16'/'f16' — score
+        every item in that dtype first (half the scoring HBM bytes; the
+        pass is bandwidth-bound at serving batch sizes), keep
+        ``oversample * k`` candidates, then gather their f32 columns and
+        re-rank exactly.  Composes with ``recall_target``.
+      oversample: candidate multiplier for the quantized first stage.
 
     Returns: (values (b, k), indices (b, k)) global item indices.
     The compiled retrieval function is cached per
-    (mesh, k, n, exclusion, recall_target) so repeated serving calls
-    don't re-trace.
+    (mesh, k, n, exclusion, recall_target, first-stage config) so
+    repeated serving calls don't re-trace.
     """
+    if first_stage_dtype is not None and first_stage_dtype not in _FIRST_STAGE_DTYPES:
+        raise ValueError("first_stage_dtype must be None, 'bf16' or 'f16'")
     if mesh is None or "cols" not in mesh.axis_names:
+        if first_stage_dtype is not None:
+            return _quantized_rerank(
+                w_batch, jnp.asarray(h), k, first_stage_dtype, oversample,
+                recall_target, exclude=exclude)
         scores = w_batch @ h
         if exclude is not None:
             scores = jnp.where(exclude, -jnp.inf, scores)
@@ -119,11 +184,13 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
     if n % n_shards:
         raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
 
-    cache_key = (mesh, k, n, exclude is not None, recall_target)
+    cache_key = (mesh, k, n, exclude is not None, recall_target,
+                 first_stage_dtype, oversample)
     fn = _RETRIEVAL_CACHE.get(cache_key)
     if fn is None:
         fn = _build_sharded_retrieval(mesh, k, n, exclude is not None,
-                                      recall_target)
+                                      recall_target, first_stage_dtype,
+                                      oversample)
         _RETRIEVAL_CACHE[cache_key] = fn
         while len(_RETRIEVAL_CACHE) > _RETRIEVAL_CACHE_MAX:
             _RETRIEVAL_CACHE.popitem(last=False)
@@ -145,7 +212,9 @@ def _merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
 
 def topk_streaming(w_batch, h_source, n: int, k: int, *,
                    panel_cols: int = 65536, mesh: Mesh | None = None,
-                   exclude=None, recall_target: float = 1.0):
+                   exclude=None, recall_target: float = 1.0,
+                   first_stage_dtype: str | None = None,
+                   oversample: int = 4):
     """Top-k retrieval when H exceeds (aggregate) device memory.
 
     The item factors arrive from the host in column panels —
@@ -168,6 +237,8 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
       exclude: optional (b, n) bool host array of items to exclude.
       recall_target: forwarded to the per-panel ranking (see
         :func:`topk_retrieval`).
+      first_stage_dtype / oversample: forwarded to the per-panel ranking
+        (quantized first stage + exact rescore, see :func:`topk_retrieval`).
 
     Returns: (values (b, k), indices (b, k)) global item indices.
     """
@@ -209,7 +280,8 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
         p_vals, p_idx = topk_retrieval(
             mesh, w_batch, jnp.asarray(panel), kk,
             exclude=None if excl_panel is None else jnp.asarray(excl_panel),
-            recall_target=recall_target)
+            recall_target=recall_target,
+            first_stage_dtype=first_stage_dtype, oversample=oversample)
         if vals is None:
             vals = jnp.full((b, k), -jnp.inf, dtype=p_vals.dtype)
         vals, idx = _merge_topk(
