@@ -82,7 +82,7 @@ def test_methods_constant_matches_dispatch(lowrank_data):
     from tpunmf.api import _METHODS
 
     assert set(_METHODS) == {"mur", "anls", "admm", "ao_admm", "hals",
-                             "semi_nmf", "onmf", "ntf"}
+                             "semi_nmf", "onmf", "ntf", "robust"}
     x = np.abs(lowrank_data)
     for method in _METHODS:
         model = NMF(x, 3)

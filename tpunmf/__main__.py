@@ -48,6 +48,9 @@ def _solver_params(args) -> dict:
     if args.method == "onmf" and args.distance_type is not None:
         raise SystemExit("--distance-type does not apply to onmf "
                          "(Euclidean by construction)")
+    if args.method == "robust" and args.distance_type is not None:
+        raise SystemExit("--distance-type does not apply to robust "
+                         "(l2,1 norm by construction)")
     if args.method == "ntf":
         if args.nndsvd is not None:
             raise SystemExit("--nndsvd does not apply to ntf (random CP init)")

@@ -28,7 +28,8 @@ from .io.npz import load_results, save_results
 # the single source of truth for factorize()'s dispatch — validated up
 # front and used to build the unknown-method error message, so it cannot
 # drift from the real dispatch list (tests/test_api.py pins the set)
-_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf", "onmf", "ntf")
+_METHODS = ("mur", "anls", "admm", "ao_admm", "hals", "semi_nmf", "onmf",
+            "ntf", "robust")
 
 
 class NMF:
@@ -177,6 +178,11 @@ class NMF:
             from .solvers import onmf as _onmf
 
             self.results = _onmf(self.data, self.factors, **params)
+        elif method == "robust":
+            # beyond-reference: l2,1-norm objective, outlier-resistant
+            from .solvers import robust_nmf as _robust
+
+            self.results = _robust(self.data, self.factors, **params)
         else:
             # validated above, so this branch is ntf — beyond-reference
             # native CP/PARAFAC for N-way data (the legacy CLI instead

@@ -12,6 +12,7 @@ from .semi import semi_nmf
 from .mur import mur
 from .nmtf import nmtf
 from .ntf import NtfResults, cp_reconstruct, mttkrp, ntf
+from .robust import robust_nmf
 from .multilevel import multilevel, mur_multilevel
 from .streaming import mur_streaming
 from .symnmf import symnmf
@@ -41,6 +42,7 @@ __all__ = [
     "orthogonality_residual",
     "OnlineNMF",
     "online_nmf",
+    "robust_nmf",
     "semi_nmf",
     "mur_streaming",
     "symnmf",
