@@ -127,3 +127,49 @@ def test_facade_route_and_persistence(tmp_path):
     assert len(loaded["factors"]) == 3
     np.testing.assert_allclose(loaded["factors"][0], res.factors[0])
     assert loaded["experiment"]["method"] == "ntf"
+
+
+# ---------------------------------------------------------------------------
+# Sharded CP (mode-0 slabs, psum'd MTTKRPs) vs single-device
+# ---------------------------------------------------------------------------
+
+def _needs_mesh():
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices")
+    from tpunmf.parallel import build_mesh
+
+    return build_mesh(shape=(8,), axis_names=("rows",))
+
+
+@pytest.mark.parametrize("distance_type,update", [
+    ("eu", "mur"), ("eu", "hals"), ("kl", "mur")])
+def test_ntf_sharded_matches_single_device(distance_type, update):
+    from tpunmf.parallel import ntf_sharded
+
+    mesh = _needs_mesh()
+    rng = np.random.default_rng(11)
+    x = np.abs(rng.standard_normal((16, 10, 6))).astype(np.float64)
+    factors0 = [np.abs(rng.standard_normal((s, 3))) for s in x.shape]
+    kw = dict(distance_type=distance_type, update=update,
+              min_iter=12, max_iter=12, tol1=0, tol2=0)
+    res_s = ntf_sharded(mesh, x, 3, factors_init=factors0, **kw)
+    res_1 = ntf(x, 3, factors_init=factors0, normalize=False, **kw)
+    np.testing.assert_allclose(np.asarray(res_s.obj_history),
+                               np.asarray(res_1.obj_history),
+                               rtol=1e-9, atol=1e-9)
+    for fs, f1 in zip(res_s.factors, res_1.factors):
+        np.testing.assert_allclose(fs, f1, rtol=1e-8, atol=1e-10)
+
+
+def test_ntf_sharded_validation():
+    from tpunmf.parallel import ntf_sharded
+
+    mesh = _needs_mesh()
+    x = np.abs(np.random.default_rng(0).standard_normal((15, 8, 4)))
+    with pytest.raises(ValueError):
+        ntf_sharded(mesh, x, 2)  # 15 % 8 != 0
+    with pytest.raises(ValueError):
+        ntf_sharded(mesh, np.abs(x[:, :, 0][:16] if x.shape[0] >= 16 else x),
+                    2, distance_type="kl", update="hals")

@@ -11,6 +11,7 @@ from .collectives import (
     xht_psum,
 )
 from .mesh import build_mesh, nmf_shardings, rank_shardings, shard_problem
+from .ntf_sharded import ntf_sharded
 from .sharded_solvers import mur_rank_sharded, mur_sharded, mur_ulysses
 from .multihost import (
     assemble_global_columns,
@@ -34,6 +35,7 @@ __all__ = [
     "reshard_cols_to_rows",
     "mur_ulysses",
     "mur_rank_sharded",
+    "ntf_sharded",
     "mur_sharded",
     "wh_psum_rank",
     "gram_h_rank",
