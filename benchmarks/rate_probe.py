@@ -143,6 +143,47 @@ def main():
 
         rec["it_per_s"] = round(two_point_rate(call, 5, 500), 2)
 
+    elif which in ("ntf_headline_mur", "ntf_headline_hals"):
+        # 3-way CP at a production-ish shape: 512x512x512 r64 f32
+        # (~134M cells; per iteration 3 MTTKRP einsum chains)
+        from tpunmf.solvers import ntf
+
+        dims, k = (512, 512, 512), 64
+        key = jax.random.PRNGKey(5)
+        keys = jax.random.split(key, 3)
+        f0 = [np.asarray(jax.random.uniform(kk2, (d, k)) + 0.01)
+              for kk2, d in zip(keys, dims)]
+        x = jnp.einsum("ir,jr,kr->ijk", *[jnp.asarray(f) for f in f0])
+        upd = "hals" if which.endswith("hals") else "mur"
+
+        def call(n_it):
+            t0 = time.perf_counter()
+            res = ntf(x, k, update=upd, factors_init=f0, min_iter=n_it,
+                      max_iter=n_it, tol1=0.0, tol2=0.0)
+            rec["final_obj"] = float(res.obj_history[-1])
+            return time.perf_counter() - t0
+
+        rec["it_per_s"] = round(two_point_rate(call, 3, 100), 2)
+
+    elif which == "robust_headline":
+        from tpunmf.solvers import robust_nmf
+
+        m, n, k = 8192, 8192, 128
+        key = jax.random.PRNGKey(6)
+        kw, kh = jax.random.split(key)
+        w0 = np.asarray(jax.random.uniform(kw, (m, k)))
+        h0 = np.asarray(jax.random.uniform(kh, (k, n)))
+        x = jnp.asarray(w0 @ h0 + 0.05, dtype=jnp.float32)
+
+        def call(n_it):
+            t0 = time.perf_counter()
+            res = robust_nmf(x, k, w_init=w0, h_init=h0, min_iter=n_it,
+                             max_iter=n_it, tol1=0.0, tol2=0.0)
+            rec["final_obj"] = float(res.obj_history[-1])
+            return time.perf_counter() - t0
+
+        rec["it_per_s"] = round(two_point_rate(call, 5, 300), 2)
+
     else:
         raise SystemExit(f"unknown probe {which!r}")
 

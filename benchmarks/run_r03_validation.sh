@@ -51,4 +51,9 @@ step masked_kl 1800 python benchmarks/rate_probe.py masked_kl_headline $RATES
 # 7. out-of-core streaming with bf16 transfer
 step streaming 2400 python benchmarks/bench_streaming.py
 
+# 8. round-3 additions: tensor CP and l2,1 robust rates
+step ntf_mur 1800 python benchmarks/rate_probe.py ntf_headline_mur $RATES
+step ntf_hals 1800 python benchmarks/rate_probe.py ntf_headline_hals $RATES
+step robust 1800 python benchmarks/rate_probe.py robust_headline $RATES
+
 echo "=== done ($(date +%H:%M:%S)) ==="
