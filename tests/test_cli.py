@@ -150,3 +150,11 @@ def test_rank_scan_finds_true_rank(rng):
     assert by_k[3] > 0.95                     # stable at the true rank
     assert by_k[3] >= by_k[5] - 1e-9          # overfit rank is not better
     assert all(0.0 <= r["dispersion"] <= 1.0 + 1e-9 for r in res)
+
+
+def test_grid_rejects_ntf_and_robust(tmp_path, data_file):
+    for method in ("ntf", "robust"):
+        r = _run_cli(["grid", data_file, "-k", "3", "-m", method,
+                      "--no-save"], tmp_path)
+        assert r.returncode == 2
+        assert "grid does not support" in r.stderr

@@ -128,6 +128,18 @@ def test_facade_route_and_persistence(tmp_path):
     np.testing.assert_allclose(loaded["factors"][0], res.factors[0])
     assert loaded["experiment"]["method"] == "ntf"
 
+    # facade-level round-trip (load_factorization sniffs the ntf layout)
+    model2 = NMF.load_factorization(path)
+    assert model2.results.experiment.method == "ntf"
+    np.testing.assert_allclose(model2.results.factors[1], res.factors[1])
+
+    # 2-D-only facade APIs fail with clear errors on tensor results
+    assert model.fit_transform(method="ntf", max_iter=5).shape == (8, 2)
+    with pytest.raises(RuntimeError, match="N-way"):
+        model.transform(x[:, :, 0])
+    with pytest.raises(RuntimeError, match="N-way"):
+        model.inverse_transform(res.factors[1])
+
 
 # ---------------------------------------------------------------------------
 # Sharded CP (mode-0 slabs, psum'd MTTKRPs) vs single-device
@@ -167,9 +179,16 @@ def test_ntf_sharded_validation():
     from tpunmf.parallel import ntf_sharded
 
     mesh = _needs_mesh()
-    x = np.abs(np.random.default_rng(0).standard_normal((15, 8, 4)))
-    with pytest.raises(ValueError):
-        ntf_sharded(mesh, x, 2)  # 15 % 8 != 0
-    with pytest.raises(ValueError):
-        ntf_sharded(mesh, np.abs(x[:, :, 0][:16] if x.shape[0] >= 16 else x),
-                    2, distance_type="kl", update="hals")
+    rng = np.random.default_rng(0)
+    x = np.abs(rng.standard_normal((15, 8, 4)))
+    with pytest.raises(ValueError, match="divide"):
+        ntf_sharded(mesh, x, 2)  # 8 does not divide 15
+    x16 = np.abs(rng.standard_normal((16, 8, 4)))
+    with pytest.raises(ValueError, match="least-squares"):
+        ntf_sharded(mesh, x16, 2, distance_type="kl", update="hals")
+    with pytest.raises(ValueError, match="non-negative"):
+        ntf_sharded(mesh, -x16, 2)
+    bad = [np.abs(rng.standard_normal((s, 2))) for s in (16, 8, 4)]
+    bad[1] = bad[1][:, :1]  # wrong shape
+    with pytest.raises(ValueError, match="factors_init"):
+        ntf_sharded(mesh, x16, 2, factors_init=bad)

@@ -259,3 +259,39 @@ def test_quantized_streaming_forwarding(rng):
     expect_idx = np.argsort(-scores, axis=1)[:, :k]
     np.testing.assert_array_equal(np.sort(np.asarray(i_q), axis=1),
                                   np.sort(expect_idx, axis=1))
+
+
+def test_quantized_prestored_hq_matches_cast(rng):
+    """A pre-stored bf16 copy (the byte-saving deployment) must give the
+    same results as the per-call cast, single-device and sharded."""
+    import jax.numpy as jnp
+    from tpunmf.serve import topk_retrieval
+
+    b, r, n, k = 4, 8, 256, 5
+    w = rng.random((b, r)).astype(np.float32)
+    h = rng.random((r, n)).astype(np.float32)
+    hq = jnp.asarray(h).astype(jnp.bfloat16)
+    v_cast, i_cast = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
+                                    first_stage_dtype="bf16")
+    v_pre, i_pre = topk_retrieval(None, jnp.asarray(w), jnp.asarray(h), k,
+                                  first_stage_dtype="bf16", h_quantized=hq)
+    np.testing.assert_array_equal(np.asarray(i_cast), np.asarray(i_pre))
+    np.testing.assert_allclose(np.asarray(v_cast), np.asarray(v_pre))
+    with pytest.raises(ValueError, match="requires first_stage_dtype"):
+        topk_retrieval(None, w, h, k, h_quantized=hq)
+    with pytest.raises(ValueError, match="does not match"):
+        topk_retrieval(None, w, h, k, first_stage_dtype="f16", h_quantized=hq)
+
+    if jax.device_count() >= 8:
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = build_mesh(shape=(8,), axis_names=("cols",))
+        sh = NamedSharding(mesh, P(None, "cols"))
+        hs = jax.device_put(jnp.asarray(h), sh)
+        hqs = jax.device_put(hq, sh)
+        v_s, i_s = topk_retrieval(mesh, jnp.asarray(w), hs, k,
+                                  first_stage_dtype="bf16", h_quantized=hqs)
+        v_c, i_c = topk_retrieval(mesh, jnp.asarray(w), hs, k,
+                                  first_stage_dtype="bf16")
+        np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_c))

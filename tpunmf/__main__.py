@@ -104,6 +104,11 @@ def cmd_grid(args) -> int:
         print("error: --checkpoint is not supported with grid "
               "(combinations would share one state file)", file=sys.stderr)
         return 2
+    if args.method in ("ntf", "robust"):
+        # neither takes the lambda_w/lambda_h kwargs the grid sweeps
+        print(f"error: grid does not support -m {args.method} "
+              "(no lambda_w/lambda_h parameters to sweep)", file=sys.stderr)
+        return 2
 
     data = load_matrix(args.data, key=args.key)
     features = [int(x) for x in args.features.split(",")]

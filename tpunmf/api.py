@@ -203,9 +203,10 @@ class NMF:
 
     def fit_transform(self, method: str = "mur", **method_params):
         """sklearn-style convenience: factorize and return W (the
-        sample-by-component representation, matching sklearn's NMF)."""
+        sample-by-component representation, matching sklearn's NMF).
+        For ``method='ntf'`` this is the mode-0 factor."""
         self.factorize(method=method, **method_params)
-        return self.results.w
+        return self.w if self.w is not None else self.results.factors[0]
 
     def transform(self, data, **opts):
         """Encode new data against the trained basis W (k x n_new).
@@ -216,6 +217,10 @@ class NMF:
         """
         if self.results is None:
             raise RuntimeError("Nothing trained: call factorize() first.")
+        if self.w is None:
+            raise RuntimeError(
+                "transform() needs a 2-D basis; the trained model is an "
+                "N-way CP factorization (use its .factors directly).")
         from .solvers import transform as _transform
 
         # beta-divergence fits record tags like 'is'/'beta0.5' that the
@@ -229,6 +234,11 @@ class NMF:
         """Reconstruct data from coefficients: W @ h."""
         if self.results is None:
             raise RuntimeError("Nothing trained: call factorize() first.")
+        if self.w is None:
+            raise RuntimeError(
+                "inverse_transform() needs a 2-D basis; the trained model "
+                "is an N-way CP factorization (use cp_reconstruct on its "
+                ".factors).")
         from .solvers import inverse_transform as _inv
 
         return _inv(self.results.w, h)
@@ -300,6 +310,32 @@ class NMF:
         a loaded model too.
         """
         from collections import namedtuple
+
+        import numpy as _np
+
+        # sniff the archive kind: ntf files carry factor0..N-1/n_modes
+        # instead of w/h (written by save_ntf_results)
+        p = path if str(path).endswith(".npz") else f"{path}.npz"
+        with _np.load(p, allow_pickle=True) as f:
+            is_ntf = "n_modes" in f.files
+
+        if is_ntf:
+            from .io.npz import load_ntf_results
+            from .solvers import NtfResults
+
+            payload = load_ntf_results(path)
+            experiment = payload["experiment"]
+            if isinstance(experiment, dict):
+                exp_cls = namedtuple("Experiment", list(experiment.keys()))
+                experiment = exp_cls(**experiment)
+            obj = cls(data=None, factors=payload["factors"][0].shape[1])
+            obj.results = NtfResults(
+                factors=payload["factors"],
+                i=payload["i"],
+                obj_history=payload["obj_history"],
+                experiment=experiment,
+            )
+            return obj
 
         payload = load_results(path)
         experiment = payload["experiment"]

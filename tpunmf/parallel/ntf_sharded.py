@@ -35,10 +35,10 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.convergence import converged as _converged
+from ..core.losses import kl_elementwise_sum as _local_kl_sum
 from ..solvers.ntf import (
     NtfExperiment,
     NtfResults,
-    _axes,
     _gram_except,
     cp_reconstruct,
     mttkrp,
@@ -46,14 +46,6 @@ from ..solvers.ntf import (
 
 _EPS = 1e-9
 _HALS_EPS = 1e-16
-
-
-def _local_kl_sum(x, xhat):
-    """Masked KL sum over the local slab (reference nmf/utils.py:21-26)."""
-    value = x * jnp.log(x / xhat)
-    value = jnp.where(value == jnp.inf, 0.0, value)
-    value = jnp.where(jnp.isnan(value), 0.0, value)
-    return jnp.sum(value - x + xhat)
 
 
 @partial(jax.jit, static_argnames=("mesh", "axis", "min_iter", "max_iter",
@@ -191,16 +183,30 @@ def ntf_sharded(
     axis = axis or mesh.axis_names[0]
     p = mesh.shape[axis]
     if x.shape[0] % p:
-        raise ValueError(f"mode-0 dim {x.shape[0]} must divide mesh axis {p}")
+        raise ValueError(
+            f"mesh axis size {p} must divide mode-0 dim {x.shape[0]}")
     if distance_type not in ("eu", "kl"):
         raise ValueError("distance_type must be 'eu' or 'kl'")
     if update not in ("mur", "hals"):
         raise ValueError("update must be 'mur' or 'hals'")
     if distance_type == "kl" and update == "hals":
         raise ValueError("HALS is least-squares only; use update='mur' for KL")
+    if bool(jnp.any(x < 0)):
+        raise ValueError("x must be non-negative")
 
     if factors_init is not None:
-        factors = [jnp.asarray(f, dtype=x.dtype) for f in factors_init]
+        if len(factors_init) != ndim:
+            raise ValueError(f"factors_init must have length {ndim}")
+        factors = []
+        for d, fd in enumerate(factors_init):
+            fd = jnp.asarray(fd, dtype=x.dtype)
+            if fd.shape != (x.shape[d], k):
+                raise ValueError(
+                    f"factors_init[{d}] must be {(x.shape[d], k)}; "
+                    f"got {fd.shape}")
+            factors.append(fd)
+        if any(bool(jnp.any(fd < 0)) for fd in factors):
+            raise ValueError("factors_init must be non-negative")
     else:
         kk = key if key is not None else jax.random.PRNGKey(42)
         keys = jax.random.split(kk, ndim)

@@ -35,21 +35,29 @@ _FIRST_STAGE_DTYPES = {"bf16": jnp.bfloat16, "f16": jnp.float16}
 @partial(jax.jit, static_argnames=("k", "dtype_name", "oversample",
                                    "recall_target"))
 def _quantized_rerank(w_batch, h, k: int, dtype_name: str, oversample: int,
-                      recall_target: float, exclude=None):
+                      recall_target: float, exclude=None, hq=None):
     """Two-stage retrieve-then-rerank with a quantized first stage.
 
-    Stage 1 scores EVERY item in a low-precision dtype (half the HBM
-    traffic of f32 scoring — the scoring pass is bandwidth-bound at
-    serving batch sizes) and keeps ``oversample * k`` candidates; stage 2
-    gathers just those candidates' f32 columns and re-scores exactly, so
-    quantization can only demote items whose f32 score falls below the
-    (oversample*k)-th candidate — near-ties inside the candidate set are
-    ranked at full precision.
+    Stage 1 scores EVERY item in a low-precision dtype and keeps
+    ``oversample * k`` candidates; stage 2 gathers just those candidates'
+    f32 columns and re-scores exactly, so quantization can only demote
+    items whose f32 score falls below the (oversample*k)-th candidate —
+    near-ties inside the candidate set are ranked at full precision.
+
+    The HBM-byte saving of the bandwidth-bound stage-1 pass is real only
+    when ``hq`` is a PRE-STORED low-precision copy of H (serving keeps H
+    twice: f32 for the rescore, bf16 for scoring).  Without ``hq`` the
+    cast happens inside this call, and XLA either fuses it into the GEMM
+    (H still read as f32 — no saving) or materializes a copy per call
+    (extra traffic); the result is identical either way, only the bytes
+    differ.
     """
     q = _FIRST_STAGE_DTYPES[dtype_name]
     n = h.shape[1]
     c = min(oversample * k, n)
-    scores_q = (w_batch.astype(q) @ h.astype(q)).astype(jnp.float32)
+    if hq is None:
+        hq = h.astype(q)
+    scores_q = (w_batch.astype(q) @ hq).astype(jnp.float32)
     if exclude is not None:
         scores_q = jnp.where(exclude, -jnp.inf, scores_q)
     if recall_target < 1.0:
@@ -78,18 +86,18 @@ _RETRIEVAL_CACHE_MAX = 32
 def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
                              recall_target: float = 1.0,
                              first_stage_dtype: str | None = None,
-                             oversample: int = 4):
+                             oversample: int = 4, with_hq: bool = False):
     n_shards = mesh.shape["cols"]
     n_local = n // n_shards
 
-    def f(w_b, h_loc, excl_loc=None):
+    def f(w_b, h_loc, excl_loc=None, hq_loc=None):
         kk = min(k, n_local)
         if first_stage_dtype is not None:
             # quantized stage-1 scoring + exact local rescore of the
             # oversampled candidates (see _quantized_rerank)
             vals, idx = _quantized_rerank(
                 w_b, h_loc, kk, first_stage_dtype, oversample,
-                recall_target, exclude=excl_loc)
+                recall_target, exclude=excl_loc, hq=hq_loc)
             offset = jax.lax.axis_index("cols") * n_local
             idx = idx + offset
             all_vals = jax.lax.all_gather(vals, "cols", axis=1, tiled=True)
@@ -119,16 +127,29 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
         return out_vals, out_idx
 
     out_specs = (P(None, None), P(None, None))
-    if with_exclude:
+    base = [P(None, None), P(None, "cols")]
+    if with_exclude and with_hq:
         mapped = shard_map(
             f, mesh=mesh,
-            in_specs=(P(None, None), P(None, "cols"), P(None, "cols")),
+            in_specs=tuple(base + [P(None, "cols"), P(None, "cols")]),
+            out_specs=out_specs, check_vma=False,
+        )
+    elif with_exclude:
+        mapped = shard_map(
+            lambda w_b, h_loc, e: f(w_b, h_loc, e), mesh=mesh,
+            in_specs=tuple(base + [P(None, "cols")]),
+            out_specs=out_specs, check_vma=False,
+        )
+    elif with_hq:
+        mapped = shard_map(
+            lambda w_b, h_loc, hq: f(w_b, h_loc, None, hq), mesh=mesh,
+            in_specs=tuple(base + [P(None, "cols")]),
             out_specs=out_specs, check_vma=False,
         )
     else:
         mapped = shard_map(
             lambda w_b, h_loc: f(w_b, h_loc), mesh=mesh,
-            in_specs=(P(None, None), P(None, "cols")),
+            in_specs=tuple(base),
             out_specs=out_specs, check_vma=False,
         )
     return jax.jit(mapped)
@@ -137,7 +158,7 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
 def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
                    recall_target: float = 1.0,
                    first_stage_dtype: str | None = None,
-                   oversample: int = 4):
+                   oversample: int = 4, h_quantized=None):
     """Top-k item retrieval for a batch of user factors.
 
     Args:
@@ -154,11 +175,15 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
         "approximate top-k kernel" of the BASELINE north star, for item
         counts where the full per-shard sort dominates.
       first_stage_dtype: None (exact f32 scoring) or 'bf16'/'f16' — score
-        every item in that dtype first (half the scoring HBM bytes; the
-        pass is bandwidth-bound at serving batch sizes), keep
-        ``oversample * k`` candidates, then gather their f32 columns and
-        re-rank exactly.  Composes with ``recall_target``.
+        every item in that dtype first, keep ``oversample * k``
+        candidates, then gather their f32 columns and re-rank exactly.
+        Composes with ``recall_target``.
       oversample: candidate multiplier for the quantized first stage.
+      h_quantized: optional PRE-STORED low-precision copy of ``h`` in the
+        ``first_stage_dtype`` dtype (same (r, n) shape/sharding).  This
+        is what realizes the byte saving of the bandwidth-bound stage-1
+        scoring pass — serving keeps H twice (f32 + bf16).  Without it
+        the cast happens per call (identical results, no byte saving).
 
     Returns: (values (b, k), indices (b, k)) global item indices.
     The compiled retrieval function is cached per
@@ -167,11 +192,18 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
     """
     if first_stage_dtype is not None and first_stage_dtype not in _FIRST_STAGE_DTYPES:
         raise ValueError("first_stage_dtype must be None, 'bf16' or 'f16'")
+    if h_quantized is not None:
+        if first_stage_dtype is None:
+            raise ValueError("h_quantized requires first_stage_dtype")
+        if h_quantized.dtype != _FIRST_STAGE_DTYPES[first_stage_dtype]:
+            raise ValueError(
+                f"h_quantized dtype {h_quantized.dtype} does not match "
+                f"first_stage_dtype {first_stage_dtype!r}")
     if mesh is None or "cols" not in mesh.axis_names:
         if first_stage_dtype is not None:
             return _quantized_rerank(
                 w_batch, jnp.asarray(h), k, first_stage_dtype, oversample,
-                recall_target, exclude=exclude)
+                recall_target, exclude=exclude, hq=h_quantized)
         scores = w_batch @ h
         if exclude is not None:
             scores = jnp.where(exclude, -jnp.inf, scores)
@@ -185,20 +217,24 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
         raise ValueError(f"items axis {n} not divisible by 'cols'={n_shards}")
 
     cache_key = (mesh, k, n, exclude is not None, recall_target,
-                 first_stage_dtype, oversample)
+                 first_stage_dtype, oversample, h_quantized is not None)
     fn = _RETRIEVAL_CACHE.get(cache_key)
     if fn is None:
         fn = _build_sharded_retrieval(mesh, k, n, exclude is not None,
                                       recall_target, first_stage_dtype,
-                                      oversample)
+                                      oversample,
+                                      with_hq=h_quantized is not None)
         _RETRIEVAL_CACHE[cache_key] = fn
         while len(_RETRIEVAL_CACHE) > _RETRIEVAL_CACHE_MAX:
             _RETRIEVAL_CACHE.popitem(last=False)
     else:
         _RETRIEVAL_CACHE.move_to_end(cache_key)
-    if exclude is None:
-        return fn(w_batch, h)
-    return fn(w_batch, h, exclude)
+    args = [w_batch, h]
+    if exclude is not None:
+        args.append(exclude)
+    if h_quantized is not None:
+        args.append(h_quantized)
+    return fn(*args)
 
 
 @partial(jax.jit, static_argnames=("k",))
