@@ -192,3 +192,65 @@ def test_ntf_sharded_validation():
     bad[1] = bad[1][:, :1]  # wrong shape
     with pytest.raises(ValueError, match="factors_init"):
         ntf_sharded(mesh, x16, 2, factors_init=bad)
+
+
+# ---------------------------------------------------------------------------
+# Masked NTF (tensor completion)
+# ---------------------------------------------------------------------------
+
+def test_masked_completion_recovers_missing_cells():
+    """Fit rank-3 CP from 60% of the cells; held-out cells must be
+    reconstructed."""
+    x, _ = _rand_cp((14, 12, 10), 3, seed=20)
+    rng = np.random.default_rng(21)
+    mask = (rng.random(x.shape) < 0.6).astype(np.float64)
+    res = ntf(x, 3, mask=mask, max_iter=3000, min_iter=100,
+              tol1=1e-13, tol2=1e-13)
+    xhat = np.asarray(cp_reconstruct([jnp.asarray(f) for f in res.factors]))
+    held = mask == 0
+    rel = np.linalg.norm((x - xhat)[held]) / np.linalg.norm(x[held])
+    assert rel < 0.05, rel
+
+
+def test_masked_eu_monotone_and_matches_2d_masked_solver():
+    rng = np.random.default_rng(22)
+    x = np.abs(rng.standard_normal((20, 16)))
+    mask = (rng.random(x.shape) < 0.7).astype(np.float64)
+    w0 = np.abs(rng.standard_normal((20, 4)))
+    h0 = np.abs(rng.standard_normal((16, 4)))
+
+    res_t = ntf(x, 4, mask=mask, factors_init=[w0, h0], normalize=False,
+                max_iter=25, min_iter=25, tol1=0, tol2=0)
+    hist = np.asarray(res_t.obj_history)
+    assert np.all(np.diff(hist) <= 1e-8 * np.maximum(1.0, np.abs(hist[:-1])))
+
+    from tpunmf.solvers import mur_masked
+
+    res_2d = mur_masked(x, mask, 4, distance_type="eu", w_init=w0,
+                        h_init=h0.T, min_iter=25, max_iter=25,
+                        tol1=0, tol2=0)
+    # same masked objective trajectory (2-D CP == masked NMF updates)
+    np.testing.assert_allclose(hist, np.asarray(res_2d.obj_history),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_masked_kl_decreases():
+    x, _ = _rand_cp((10, 9, 8), 2, seed=23)
+    rng = np.random.default_rng(24)
+    mask = (rng.random(x.shape) < 0.7).astype(np.float64)
+    res = ntf(x, 2, mask=mask, distance_type="kl", max_iter=40,
+              min_iter=40, tol1=0, tol2=0)
+    hist = np.asarray(res.obj_history)
+    assert hist[-1] < hist[0]
+    assert np.all(np.isfinite(hist))
+
+
+def test_mask_validation():
+    x, _ = _rand_cp((8, 7, 6), 2, seed=25)
+    mask = np.ones_like(x)
+    with pytest.raises(ValueError, match="update='mur'"):
+        ntf(x, 2, mask=mask, update="hals")
+    with pytest.raises(ValueError, match="mask shape"):
+        ntf(x, 2, mask=mask[:4])
+    with pytest.raises(ValueError, match="non-negative"):
+        ntf(x, 2, mask=-mask)

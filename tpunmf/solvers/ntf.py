@@ -113,6 +113,53 @@ def _normalize_columns(factors):
     return [f * (target / nm)[None, :] for f, nm in zip(factors, norms)]
 
 
+def _make_masked_step(x, mask, distance_type: str, lambdas, normalize: bool):
+    """Masked (tensor-completion) MUR steps: only observed cells drive the
+    fit.  Each mode update needs the current reconstruction restricted to
+    observed cells, so per iteration the model is materialized once per
+    mode (the unavoidable cost of masking — the gram trick no longer
+    applies because ``||M o Xhat||^2`` does not factor over the modes).
+
+    EU:  F_d <- F_d * mttkrp(M o X) / (mttkrp(M o Xhat) + lam F_d)
+    KL:  F_d <- F_d * mttkrp(M o X / Xhat) / mttkrp(M)
+
+    Both are the Lee-Seung rules on the masked objective lifted to CP
+    (the 2-D case reduces exactly to solvers/masked.py's updates).
+    """
+    ndim = x.ndim
+    mx = mask * x
+
+    def eu_step(inner, i):
+        factors = list(inner)
+        for d in range(ndim):
+            xhat = cp_reconstruct(factors)
+            numer = mttkrp(mx, factors, d)
+            denom = (mttkrp(mask * xhat, factors, d)
+                     + lambdas[d] * factors[d] + _EPS)
+            factors[d] = factors[d] * (numer / denom)
+        resid = mask * (x - cp_reconstruct(factors))
+        obj = 0.5 * jnp.sum(resid * resid)
+        if normalize:
+            factors = _normalize_columns(factors)
+        return tuple(factors), obj
+
+    def kl_step(inner, i):
+        factors = list(inner)
+        for d in range(ndim):
+            xhat = cp_reconstruct(factors)
+            ratio = mask * (x / (xhat + _EPS))
+            numer = mttkrp(ratio, factors, d)
+            denom = mttkrp(mask, factors, d) + _EPS
+            factors[d] = factors[d] * (numer / denom)
+        xhat = cp_reconstruct(factors)
+        obj = kl_elementwise_sum(mask * x, mask * xhat)
+        if normalize:
+            factors = _normalize_columns(factors)
+        return tuple(factors), obj
+
+    return eu_step if distance_type == "eu" else kl_step
+
+
 def _make_step(x, xsq, distance_type: str, update: str, lambdas, normalize: bool):
     ndim = x.ndim
 
@@ -175,10 +222,13 @@ def _make_step(x, xsq, distance_type: str, update: str, lambdas, normalize: bool
 
 @partial(jax.jit, static_argnames=("distance_type", "update", "normalize",
                                    "min_iter", "max_iter", "verbose"))
-def _ntf_block(x, xsq, lambdas, carry: LoopCarry, stop_i, tol1, tol2, *,
+def _ntf_block(x, mask, xsq, lambdas, carry: LoopCarry, stop_i, tol1, tol2, *,
                distance_type: str, update: str, normalize: bool,
                min_iter: int, max_iter: int, verbose: bool):
-    step = _make_step(x, xsq, distance_type, update, lambdas, normalize)
+    if mask is None:
+        step = _make_step(x, xsq, distance_type, update, lambdas, normalize)
+    else:
+        step = _make_masked_step(x, mask, distance_type, lambdas, normalize)
     return while_block(step, carry, stop_i, tol1, tol2, min_iter=min_iter,
                        max_iter=max_iter, verbose=verbose)
 
@@ -190,6 +240,7 @@ def ntf(
     distance_type: str = "eu",
     update: str = "mur",
     lambdas: Optional[Sequence[float]] = None,
+    mask=None,
     min_iter: int = 10,
     max_iter: int = 500,
     tol1: float = 1e-5,
@@ -215,6 +266,12 @@ def ntf(
         closed forms, usually fewer sweeps to a given objective).
       lambdas: optional per-mode ridge (l2) strengths, length N
         (Euclidean only; default all zero).
+      mask: optional non-negative observation weights, same shape as
+        ``x`` (1/0 for observed/missing, or continuous weights) — tensor
+        completion: only observed cells drive the fit (``update='mur'``
+        only; each mode update then materializes the model once, since
+        masking breaks the gram trick).  The 2-D case reduces to the
+        masked matrix solver (solvers/masked.py).
       factors_init: optional explicit non-negative factor list, mode d of
         shape (x.shape[d], k).  Default |randn| init.
       normalize: equilibrate component norms across modes each iteration
@@ -236,6 +293,15 @@ def ntf(
         raise ValueError("HALS is least-squares only; use update='mur' for KL")
     if bool(jnp.any(x < 0)):
         raise ValueError("x must be non-negative")
+    if mask is not None:
+        if update != "mur":
+            raise ValueError("mask= requires update='mur' (masked HALS "
+                             "closed forms are not implemented)")
+        mask = jnp.asarray(mask, dtype=x.dtype)
+        if mask.shape != x.shape:
+            raise ValueError(f"mask shape {mask.shape} != x shape {x.shape}")
+        if bool(jnp.any(mask < 0)):
+            raise ValueError("mask must be non-negative")
 
     if lambdas is None:
         lam = jnp.zeros((ndim,), dtype=x.dtype)
@@ -277,7 +343,14 @@ def ntf(
     )
 
     xsq = jnp.vdot(x, x)
-    if distance_type == "eu":
+    if mask is not None:
+        if distance_type == "eu":
+            resid = mask * (x - cp_reconstruct(factors))
+            obj0 = 0.5 * jnp.sum(resid * resid)
+        else:
+            obj0 = kl_elementwise_sum(mask * x,
+                                      mask * cp_reconstruct(factors))
+    elif distance_type == "eu":
         grams = [f.T @ f for f in factors]
         full_gram = grams[0]
         for g in grams[1:]:
@@ -290,7 +363,7 @@ def ntf(
 
     carry = init_carry(obj0, max_iter, tuple(factors))
     run = lambda c, stop: _ntf_block(
-        x, xsq, lam, c, stop, tol1, tol2, distance_type=distance_type,
+        x, mask, xsq, lam, c, stop, tol1, tol2, distance_type=distance_type,
         update=update, normalize=normalize, min_iter=min_iter,
         max_iter=max_iter, verbose=verbose,
     )
@@ -298,7 +371,8 @@ def ntf(
         run, carry, max_iter=max_iter, block_size=block_size,
         on_block_end=on_block_end, checkpoint_path=checkpoint_path,
         checkpoint_every=checkpoint_every, resume=resume,
-        config_tag=repr(experiment) + f"|ntf:shape={x.shape}",
+        config_tag=(repr(experiment) + f"|ntf:shape={x.shape}"
+                    + ("|masked" if mask is not None else "")),
     )
     factors = [np.asarray(f) for f in carry.inner]
     i, obj_history = finalize_history(carry)
