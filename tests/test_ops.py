@@ -407,3 +407,55 @@ class TestHalsSweepKernel:
         # update vs on-demand row dot)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_tileable_helpers_respect_hw_tile_and_vmem_rules():
+    """Hardware-only constraints the kernels must respect (Mosaic rejects
+    them on TPU, interpret mode does not): bf16 block sublane dims must
+    be 16-multiples, and VMEM budgets must count double-buffered windows
+    and in-kernel cast copies."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpunmf.ops.hals_sweep import gs_sweep_tileable, hals_iter_tileable
+    from tpunmf.ops.masked_fused import masked_tileable
+    from tpunmf.ops.mur_fused import iter_eu_tileable, mur_tileable
+
+    # gs_sweep at k=256: the double-buffered (a, v, out) windows + p must
+    # fit 12MB -> bm 2048 would need ~19MB and must NOT be selected
+    bm = gs_sweep_tileable(256, 8192)
+    assert bm is not None and (9 * 256 * bm + 256 * 256) * 4 <= 12 * 2**20
+    assert bm <= 1024
+
+    x_bf16 = jnp.zeros((8192, 8192), dtype=jnp.bfloat16)
+    # any bf16 selection must keep the X strip sublane dim a 16-multiple
+    sel = mur_tileable(x_bf16, 960)
+    assert sel is None or sel[0] % 16 == 0
+    sel = masked_tileable(x_bf16, 960)
+    assert sel is None or sel[0] % 16 == 0
+    # masks can ride as bf16 even when X is f32 -> rule applies to f32 too
+    sel = masked_tileable(jnp.zeros((8192, 8192), jnp.float32), 960)
+    assert sel is None or sel[0] % 16 == 0
+
+    bm = iter_eu_tileable(jnp.zeros((8192, 16384), jnp.bfloat16), 96)
+    assert bm is None or bm % 16 == 0
+    if bm is not None:  # budget must cover the in-kernel bf16 H^T copy
+        need = (2 * 96 * 16384 * 4 + 2 * 96 * 96 * 4 + 96 * 16384 * 2
+                + 2 * bm * 16384 * 2 + 3 * bm * 96 * 4)
+        assert need <= 14 * 2**20
+    bm = hals_iter_tileable(jnp.zeros((8192, 8192), jnp.bfloat16), 128)
+    assert bm is None or bm % 16 == 0
+
+
+def test_dimension_semantics_rejects_parallel_revisit_axis():
+    import jax.numpy as jnp
+    import pytest
+
+    from tpunmf.ops.mur_fused import mur_w_update
+
+    x = jnp.ones((64, 128), jnp.float32)
+    w = jnp.ones((64, 8), jnp.float32)
+    h = jnp.ones((8, 128), jnp.float32)
+    with pytest.raises(ValueError, match="revisiting"):
+        mur_w_update(x, w, h, distance_type="eu", lam=0.0, bm=8, bn=128,
+                     dimension_semantics=("parallel", "parallel"))

@@ -97,7 +97,11 @@ def gs_sweep_tileable(k: int, mdim: int) -> int | None:
     for bm in (2048, 1024, 512, 256, 128):
         if mdim % bm:
             continue
-        if (3 * k * bm + k * k) * 4 <= budget:
+        # residency, counted the way Mosaic actually allocates it: the
+        # three moving (k, bm) windows (a, v, out) are DOUBLE-buffered by
+        # the pipeline (6 strips), plus the in-kernel p = G @ V and the
+        # loaded v/a values (3 more) and the replicated Gram
+        if (9 * k * bm + k * k) * 4 <= budget:
             return bm
     return None
 
@@ -155,6 +159,9 @@ def hals_iter_tileable(x, k: int) -> int | None:
     xb = x.dtype.itemsize
     budget = 13 * 1024 * 1024
     fixed = k * n * 4 + k * n * 4 + 2 * k * k * 4     # ht(f32) + wtx + grams
+    if xb != 4:
+        # the kernel casts H^T to X's dtype in-register every grid step
+        fixed += k * n * xb
     for bm in (256, 128, 64, 32):
         if m % bm:
             continue

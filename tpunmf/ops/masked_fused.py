@@ -56,11 +56,15 @@ def masked_tileable(x, k: int):
         return (2 * bm_ * bn_ * xb * 2 + bn_ * k * 4 * 2
                 + bm_ * bn_ * 4 + 4 * bm_ * k * 4)
 
-    while budget(bm, bn) > 8 * 1024 * 1024 and bm > 8:
+    # bf16 strips need a 16-multiple sublane dim (Mosaic (16, 128) tile
+    # rule; interpret mode won't catch it) — and binary masks ride as
+    # bf16 even when X is f32 (solvers/masked.py), so always require it
+    min_bm = 16
+    while budget(bm, bn) > 8 * 1024 * 1024 and bm > min_bm:
         bm //= 2
         if m % bm:
             return None
-    if budget(bm, bn) > 8 * 1024 * 1024:
+    if budget(bm, bn) > 8 * 1024 * 1024 or bm % min_bm:
         return None
     return bm, bn
 
@@ -140,15 +144,16 @@ def masked_w_update(x, mask, w, h, *, distance_type: str, lam: float,
     kern = functools.partial(
         _w_eu_masked_kernel if distance_type == "eu" else _w_kl_masked_kernel,
         nj=nj)
-    out, _ = pl.pallas_call(
+    # the denominator accumulator lives in VMEM scratch: it is consumed
+    # in the j == nj-1 epilogue and never needed on the host, so an HBM
+    # output would only add an m x k allocation + write-back per call
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[x_spec, x_spec, h_spec, w_spec, lam_spec],
-        out_specs=(acc_spec, acc_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-            jax.ShapeDtypeStruct((m, k), jnp.float32),
-        ),
+        out_specs=acc_spec,
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * m * n * k,
             bytes_accessed=2 * m * n * x.dtype.itemsize + (2 * m * k + k * n) * 4,
@@ -234,15 +239,14 @@ def masked_h_update(x, mask, w, h, *, distance_type: str, lam: float,
     kern = functools.partial(
         _h_eu_masked_kernel if distance_type == "eu" else _h_kl_masked_kernel,
         ni=ni)
-    out, _ = pl.pallas_call(
+    # denominator accumulator in VMEM scratch (see masked_w_update)
+    out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[x_spec, x_spec, w_spec, h_spec, lam_spec],
-        out_specs=(acc_spec, acc_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, n), jnp.float32),
-            jax.ShapeDtypeStruct((k, n), jnp.float32),
-        ),
+        out_specs=acc_spec,
+        out_shape=jax.ShapeDtypeStruct((k, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * m * n * k,
             bytes_accessed=2 * m * n * x.dtype.itemsize + (m * k + 2 * k * n) * 4,

@@ -55,13 +55,17 @@ def mur_tileable(x, k: int):
     bn = 1024 if n % 1024 == 0 else _pick_block(n)
     if bm is None or bn is None:
         return None
+    # bf16 blocks need a (16, 128) tile: the X strips' sublane dim (bm)
+    # must stay a multiple of 16 or Mosaic rejects the BlockSpec on
+    # hardware (interpret mode doesn't check tiling)
+    min_bm = 16 if xb == 2 else 8
     def budget(bm_, bn_):
         return bm_ * bn_ * xb * 2 + (bm_ + bn_) * k * 4 * 2
-    while budget(bm, bn) > 8 * 1024 * 1024 and bm > 8:
+    while budget(bm, bn) > 8 * 1024 * 1024 and bm > min_bm:
         bm //= 2
         if m % bm:
             return None
-    if budget(bm, bn) > 8 * 1024 * 1024:
+    if budget(bm, bn) > 8 * 1024 * 1024 or bm % min_bm:
         return None  # can't fit: fall back to the jnp step
     return bm, bn
 
@@ -151,6 +155,14 @@ def _compiler_params(semantics, interpret):
     not pass PARALLEL for that axis (enforced in mur_w_update)."""
     if semantics is None or interpret:
         return None
+    # the LAST grid axis of every 2-pass kernel revisits/accumulates into
+    # the output block (out_ref[:] += ...): PARALLEL there would race the
+    # accumulation on megacore hardware and silently corrupt the factors
+    last = semantics[-1]
+    if str(getattr(last, "value", last)).lower() != "arbitrary":
+        raise ValueError(
+            "the last grid axis is the revisiting contraction axis; "
+            "dimension_semantics[-1] must be ARBITRARY")
     return pltpu.CompilerParams(dimension_semantics=semantics)
 
 
@@ -245,7 +257,7 @@ def mur_w_update(x, w, h, *, distance_type: str, lam: float, bm: int, bn: int,
 # ------------------------------------------- single-pass EU iteration
 
 def _iter_eu_kernel(x_ref, ht_ref, w_ref, gh_ref, lw_ref, w_out_ref,
-                    wtx_ref, gw_ref, *, ni):
+                    wtx_ref, gw_ref):
     """One grid step processes a full (bm, n) row strip of X:
     W-numerator GEMM, in-register W update, and the H-numerator +
     W-Gram accumulations — X is read from HBM exactly ONCE per
@@ -283,7 +295,14 @@ def iter_eu_tileable(x, k: int):
     xb = x.dtype.itemsize
     budget = 14 * 1024 * 1024
     fixed = 2 * k * n * 4 + k * k * 4 * 2             # ht(f32) + wtx + grams
-    for bm in (512, 256, 128, 64, 32, 16, 8):
+    if xb != 4:
+        # the kernel casts H^T to X's dtype in-register every grid step
+        # (ht_ref[:].astype) — that copy is resident too
+        fixed += k * n * xb
+    # bf16 strips need a 16-multiple sublane dim (Mosaic tile rule)
+    cands = (512, 256, 128, 64, 32, 16) if xb == 2 else \
+            (512, 256, 128, 64, 32, 16, 8)
+    for bm in cands:
         if m % bm:
             continue
         need = fixed + 2 * bm * n * xb + 3 * bm * k * 4
@@ -310,7 +329,7 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
     gh = h @ h.T
     ht = h.T
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
-    kern = functools.partial(_iter_eu_kernel, ni=ni)
+    kern = _iter_eu_kernel
     cost = pl.CostEstimate(
         flops=4 * m * n * k,
         bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,
@@ -499,7 +518,7 @@ def mur_iteration_eu_dma(x, w, h, *, lam_w: float, bm: int):
 # ------------------------------------------- single-pass KL iteration
 
 def _iter_kl_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,
-                    w_out_ref, wtr_ref, obj_ref, *, ni):
+                    w_out_ref, wtr_ref, obj_ref):
     """One grid step runs the WHOLE KL iteration for a (bm, n) row strip:
     ratio vs the incoming W, regularized closed-form W update, the
     H-numerator ``W_new^T (X / (W_new H + eps))`` against the fresh W,
@@ -572,7 +591,7 @@ def iter_kl_tileable(x, k: int):
 
 
 def _iter_kl_blocked_kernel(x_ref, h_ref, w_ref, hsum_ref, lw_ref,
-                            w_out_ref, wtr_ref, obj_ref, *, ni, bs):
+                            w_out_ref, wtr_ref, obj_ref, *, bs):
     """Column-subblocked single-pass KL iteration.
 
     Same math and I/O as _iter_kl_kernel, but wh and the ratio are formed
@@ -647,9 +666,9 @@ def mur_iteration_kl(x, w, h, *, lam_w: float, bm: int, bs: int | None = None,
     hsum = jnp.sum(h, axis=1, keepdims=True).T  # (1, k)
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
     if bs is not None:
-        kern = functools.partial(_iter_kl_blocked_kernel, ni=ni, bs=bs)
+        kern = functools.partial(_iter_kl_blocked_kernel, bs=bs)
     else:
-        kern = functools.partial(_iter_kl_kernel, ni=ni)
+        kern = _iter_kl_kernel
     cost = pl.CostEstimate(
         flops=8 * m * n * k,
         bytes_accessed=(m * n + 4 * m * k + 2 * k * n) * 4,
