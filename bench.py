@@ -116,9 +116,19 @@ class BandwidthTracker:
         if persist and os.path.exists(_PROBE_STORE):
             try:
                 with open(_PROBE_STORE) as f:
-                    self.best_prior = float(json.load(f)["bw_best"])
+                    stored = json.load(f)
+                # a prior from a different chip kind must not set this
+                # chip's ceiling (a v6e prior would permanently deflate
+                # every v5e vs_baseline — the ratchet only goes up)
+                if stored.get("device") == jax.devices()[0].device_kind:
+                    self.best_prior = float(stored["bw_best"])
             except Exception:
                 self.best_prior = 0.0
+        # sanity cap: no deliverable-bandwidth evidence can exceed the
+        # chip's nominal HBM spec (guards against a prior written by an
+        # anomalous timing, e.g. a compiler folding the probe loop)
+        _, hbm_nominal = _chip_limits()
+        self.best_prior = min(self.best_prior, hbm_nominal)
         self._build(mb, gemm_shape)
 
     def _build(self, mb, gemm_shape):
@@ -160,8 +170,10 @@ class BandwidthTracker:
 
     @property
     def bw_ceiling(self) -> float:
-        """Best probe evidence ever for this environment."""
-        return max(self.bw_probe_best, self.best_prior)
+        """Best probe evidence ever for this environment, capped at the
+        chip's nominal HBM spec (no probe can legitimately beat it)."""
+        _, hbm_nominal = _chip_limits()
+        return min(max(self.bw_probe_best, self.best_prior), hbm_nominal)
 
     def save(self):
         if not self.persist:
@@ -243,7 +255,10 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
     # reported roofline fraction)
     xb = jnp.dtype(data_dtype).itemsize
     passes = 1 if single_bm is not None else 2
-    bytes_per_iter = passes * m * n * xb + (4 * m * k + 4 * k * n) * 4
+    # W read + w_new written = 2mk; H^T read, WtX written+read, H written
+    # = 4kn (all f32).  Keeping the count minimal is what makes the
+    # reported roofline fraction conservative.
+    bytes_per_iter = passes * m * n * xb + (2 * m * k + 4 * k * n) * 4
     peak_flops, hbm_nominal = _chip_limits()
     bw = bw_measured or hbm_nominal
     t_roof_meas = max(bytes_per_iter / bw, flops_per_iter / peak_flops)
@@ -340,13 +355,21 @@ def main():
     # transient slow patch of the shared tunnel can't set the ceiling
     tracker = BandwidthTracker()
     tracker.sample()
-    r16 = bench_mur_eu(data_dtype=jnp.bfloat16,
-                       bw_measured=tracker.bw_ceiling)  # headline mode
+    r16 = bench_mur_eu(data_dtype=jnp.bfloat16)         # headline mode
     tracker.sample()
-    r = bench_mur_eu(bw_measured=tracker.bw_ceiling)    # f32 reference mode
+    r = bench_mur_eu()                                  # f32 reference mode
+    tracker.sample()
+    tracker.save()
+    try:
+        rates = bench_solver_rates()
+    except Exception as e:  # never lose the headline to a secondary bench
+        rates = {"error": str(e)[:200]}
     tracker.sample()
     tracker.save()
 
+    # ALL probe samples are in before any headline math: every reported
+    # field (fractions, undershoot flag, probe summary) reflects the same
+    # final ceiling — no probe can land after the numbers it feeds.
     bw_ceiling = tracker.bw_ceiling
     r = {**r, **_refraction(r, bw_ceiling)}
     r16 = {**r16, **_refraction(r16, bw_ceiling)}
@@ -363,13 +386,6 @@ def main():
     else:
         headline_fraction = r16["roofline_fraction"]
         ceiling_source = "xla probe"
-
-    try:
-        rates = bench_solver_rates()
-    except Exception as e:  # never lose the headline to a secondary bench
-        rates = {"error": str(e)[:200]}
-    tracker.sample()
-    tracker.save()
     probe = tracker.summary()
     print(json.dumps({
         "metric": "mur_eu_rank128_bf16x_gflops_per_chip",

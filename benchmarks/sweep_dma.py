@@ -49,7 +49,12 @@ def main():
     x = (w0 @ h0 + 0.01 * jax.random.uniform(kx, (m, n))).astype(dtype)
     float(jnp.sum(w0))  # materialize
 
-    @jax.jit
+    import functools
+
+    # bm and iters MUST be static: mur_iteration_eu validates `m % bm`
+    # with Python control flow at trace time (a traced bm would raise
+    # TracerBoolConversionError before anything runs)
+    @functools.partial(jax.jit, static_argnames=("iters", "bm"))
     def run_auto(x, w, h, iters, bm):
         def body(t, c):
             w, h = c
@@ -58,7 +63,7 @@ def main():
             return (w, h)
         return jax.lax.fori_loop(0, iters, body, (w, h))
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnames=("iters", "bm"))
     def run_dma(x, w, h, iters, bm):
         def body(t, c):
             w, h = c
@@ -67,7 +72,6 @@ def main():
             return (w, h)
         return jax.lax.fori_loop(0, iters, body, (w, h))
 
-    import functools
     runners = {
         "auto": (iter_eu_tileable(x, k),
                  lambda bm: functools.partial(run_auto, bm=bm)),

@@ -25,9 +25,22 @@ def test_bandwidth_tracker_interleaved_best(tmp_path, monkeypatch):
 
     import bench
 
+    import jax as _jax
+
+    kind = _jax.devices()[0].device_kind
     store = tmp_path / "bw_probe_best.json"
-    store.write_text(json.dumps({"bw_best": 3.21e11}))
+
+    # a prior from a DIFFERENT chip kind must be rejected outright
+    store.write_text(json.dumps({"bw_best": 3.21e11, "device": "TPU v6e"}))
     monkeypatch.setattr(bench, "_PROBE_STORE", str(store))
+    assert bench.BandwidthTracker(mb=1, gemm_shape=(64, 64, 8)).best_prior == 0.0
+
+    # a prior above the chip's nominal HBM spec is capped (anomalous probe)
+    store.write_text(json.dumps({"bw_best": 9e15, "device": kind}))
+    tr_cap = bench.BandwidthTracker(mb=1, gemm_shape=(64, 64, 8))
+    assert tr_cap.best_prior <= bench._chip_limits()[1]
+
+    store.write_text(json.dumps({"bw_best": 3.21e11, "device": kind}))
     tr = bench.BandwidthTracker(mb=1, gemm_shape=(64, 64, 8))
     assert tr.best_prior == 3.21e11
     tr.sample(iters=2)

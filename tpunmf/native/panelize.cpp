@@ -51,6 +51,12 @@ inline void fill_tile_rows(const int64_t* indptr, const int32_t* indices,
 inline uint16_t f32_to_bf16(float f) {
   uint32_t x;
   std::memcpy(&x, &f, sizeof(x));
+  // NaN guard: a payload confined to the low 16 bits would carry into
+  // the exponent under RNE and come out as +/-inf; quiet it instead
+  // (matches ml_dtypes / the scipy fallback path)
+  if ((x & 0x7FFFFFFFu) > 0x7F800000u) {
+    return static_cast<uint16_t>((x >> 16) | 0x0040u);
+  }
   const uint32_t lsb = (x >> 16) & 1u;
   x += 0x7FFFu + lsb;
   return static_cast<uint16_t>(x >> 16);

@@ -131,9 +131,6 @@ class _Panels:
             return self.stream.panel_bf16(i, j)
         return self.stream.panel(i, j)
 
-    def x(self, i, j):
-        return jnp.asarray(self.host_panel(i, j))
-
     def pipelined(self, sched):
         """Yield (i, j, device_panel) over ``sched`` with one panel of
         lookahead: the next tile's densify + device_put are issued while
@@ -234,8 +231,20 @@ def mur_streaming(
         lambda_w=lambda_w, lambda_h=lambda_h,
     )
 
-    # from the deduplicated CSR (COO duplicate coordinates sum there)
-    xsq = float(np.sum(np.asarray(p.stream.csr.data, dtype=np.float64) ** 2))
+    # from the deduplicated CSR (COO duplicate coordinates sum there).
+    # With bf16 transfer the matrix the device actually fits is the
+    # bf16-ROUNDED data, so ||X||^2 must use the rounded values too —
+    # otherwise the objective mixes iterates of two different matrices
+    # (a constant offset that perturbs the absolute tol2 stop test)
+    if transfer_dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        rounded = np.asarray(p.stream.csr.data, dtype=np.float32).astype(
+            ml_dtypes.bfloat16).astype(np.float64)
+        xsq = float(np.sum(rounded ** 2))
+    else:
+        xsq = float(np.sum(
+            np.asarray(p.stream.csr.data, dtype=np.float64) ** 2))
 
     def streamed_xht(h, kl_with_w=None):
         """sum_j X_panel @ h_panel^T per row block (EU), or the KL ratio

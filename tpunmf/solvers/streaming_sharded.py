@@ -195,8 +195,18 @@ def mur_streaming_sharded(
         lambda_w=lambda_w, lambda_h=lambda_h,
     )
     # xsq from the CSR the panels come from: duplicate COO coordinates are
-    # summed there, so summing raw input data**2 would disagree
-    xsq = float(np.sum(np.asarray(stream.csr.data, dtype=np.float64) ** 2))
+    # summed there, so summing raw input data**2 would disagree.  With
+    # bf16 transfer the fitted matrix is the bf16-ROUNDED data — ||X||^2
+    # must match it (see solvers/streaming.py)
+    if transfer_dtype == jnp.bfloat16:
+        import ml_dtypes
+
+        _rounded = np.asarray(stream.csr.data, dtype=np.float32).astype(
+            ml_dtypes.bfloat16).astype(np.float64)
+        xsq = float(np.sum(_rounded ** 2))
+    else:
+        xsq = float(np.sum(
+            np.asarray(stream.csr.data, dtype=np.float64) ** 2))
 
     def x_block(i):
         """Row block i as a column-sharded global array; the callback runs
