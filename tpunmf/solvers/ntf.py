@@ -276,6 +276,10 @@ def ntf(
         shape (x.shape[d], k).  Default |randn| init.
       normalize: equilibrate component norms across modes each iteration
         (reconstruction-invariant; keeps long MUR runs well-scaled).
+        Note: with nonzero ``lambdas`` the rescale changes the ridge
+        penalty term (the recorded data-fit objective is unaffected), so
+        strict monotonicity of the REGULARIZED objective is only
+        guaranteed with ``normalize=False``.
 
     Returns:
       NtfResults(factors, i, obj_history, experiment) — ``factors[d]`` is
