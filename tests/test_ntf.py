@@ -254,3 +254,28 @@ def test_mask_validation():
         ntf(x, 2, mask=mask[:4])
     with pytest.raises(ValueError, match="non-negative"):
         ntf(x, 2, mask=-mask)
+
+
+# ---------------------------------------------------------------------------
+# CP rank selection: CORCONDIA + ntf_rank_scan
+# ---------------------------------------------------------------------------
+
+def test_corcondia_exact_factors_near_100():
+    from tpunmf.experiments import corcondia
+
+    x, factors = _rand_cp((14, 12, 10), 3, seed=30)
+    c = corcondia(x, factors)
+    assert c > 99.0, c
+
+
+def test_corcondia_collapses_when_overfit():
+    from tpunmf.experiments import corcondia, ntf_rank_scan
+
+    x, _ = _rand_cp((16, 14, 12), 3, seed=31)
+    scan = ntf_rank_scan(x, [2, 3, 5], n_iter=400, update="hals")
+    by_k = {row["k"]: row for row in scan}
+    # fit improves with k...
+    assert by_k[3]["rel_err"] < by_k[2]["rel_err"]
+    # ...but core consistency is high at the true rank and collapses past it
+    assert by_k[3]["corcondia"] > 50.0
+    assert by_k[5]["corcondia"] < by_k[3]["corcondia"]

@@ -274,3 +274,89 @@ def run_param_file(data, factors: int, param_module: str, method: str = "mur"):
     applied here)."""
     model = NMF(data, factors, param_file=param_module)
     return model.factorize(method=method)
+
+
+def corcondia(x, factors) -> float:
+    """Core-consistency diagnostic for a CP model (Bro & Kiers 2003).
+
+    Fits the unconstrained Tucker core G to the data given the CP
+    factors (G = X contracted with each factor's pseudo-inverse) and
+    scores how close G is to the superdiagonal identity the CP model
+    implies:
+
+        corcondia = 100 * (1 - ||G - I_sd||_F^2 / k)
+
+    ~100 means the CP structure is appropriate at this rank; it collapses
+    (often negative) once the rank over-fits — the standard tensor-rank
+    diagnostic.  All contractions are einsum GEMMs (the pseudo-inverse is
+    a k x k solve against each factor's Gram; X is contracted once).
+
+    Args:
+      x: the data tensor.
+      factors: CP factor list (e.g. ``NtfResults.factors``).
+    Returns: the diagnostic in (-inf, 100].
+    """
+    import string
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.asarray(x)
+    fs = [jnp.asarray(f) for f in factors]
+    ndim = x.ndim
+    k = fs[0].shape[1]
+    # pinv(F_d) = solve(F_d^T F_d, F_d^T): k x dim_d — tiny k x k algebra
+    pinvs = [
+        jnp.linalg.solve(f.T @ f + 1e-12 * jnp.eye(k, dtype=f.dtype), f.T)
+        for f in fs
+    ]
+    ax = string.ascii_lowercase[:ndim]
+    core_ax = string.ascii_lowercase[ndim:2 * ndim]  # fresh letters
+    spec = (ax + "," + ",".join(c + a for c, a in zip(core_ax, ax))
+            + "->" + core_ax)
+    g = jnp.einsum(spec, x, *pinvs)                   # (k, ..., k) core
+    ideal = jnp.zeros((k,) * ndim, dtype=g.dtype)
+    idx = (jnp.arange(k),) * ndim
+    ideal = ideal.at[idx].set(1.0)
+    return float(100.0 * (1.0 - jnp.sum((g - ideal) ** 2) / k))
+
+
+def ntf_rank_scan(
+    x,
+    ks: Sequence[int],
+    *,
+    update: str = "hals",
+    n_iter: int = 200,
+    key=None,
+) -> list:
+    """CP rank selection: fit + core consistency per candidate rank.
+
+    Fits a CP model at each rank and reports the relative reconstruction
+    error together with :func:`corcondia`.  The usual reading: pick the
+    largest k whose core consistency stays high (~>50) before the
+    collapse — fit alone decreases monotonically in k and cannot choose.
+
+    Returns a list of dicts: {k, rel_err, corcondia, final_obj}.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .solvers import cp_reconstruct, ntf
+
+    x = jnp.asarray(x)
+    xnorm = float(jnp.linalg.norm(x))
+    base = key if key is not None else jax.random.PRNGKey(0)
+    out = []
+    for i, k in enumerate(ks):
+        res = ntf(x, int(k), update=update, max_iter=n_iter, min_iter=10,
+                  tol1=1e-9, tol2=1e-9, key=jax.random.fold_in(base, i))
+        xhat = cp_reconstruct([jnp.asarray(f) for f in res.factors])
+        rel = float(jnp.linalg.norm(x - xhat)) / (xnorm + 1e-30)
+        out.append({
+            "k": int(k),
+            "rel_err": rel,
+            "corcondia": corcondia(x, res.factors),
+            "final_obj": float(res.obj_history[-1]),
+        })
+    return out
