@@ -17,8 +17,10 @@ time achieved, divided by the BASELINE.json 0.70 target:
 At rank 128 the iteration is memory-bound, so BW is the binding term.
 The tunneled chip in this environment delivers only a fluctuating
 fraction of the v5e nominal 819 GB/s, so the bench MEASURES the
-deliverable bandwidth with neutral XLA probes (a streaming read+write
-pass and a read-dominated GEMM), INTERLEAVED across the bench window
+deliverable bandwidth with neutral XLA probes (a pure-read reduction —
+the binding one, since the solver's traffic is dominated by the single
+X read — plus a streaming read+write pass and a read-dominated GEMM),
+INTERLEAVED across the bench window
 (before / between / after the solver benches) to sample the
 fluctuation, and keeps a per-environment best-ever probe on disk
 (benchmarks/bw_probe_best.json) so one slow window cannot deflate the
@@ -39,7 +41,10 @@ metric asks for.
 
 Timing note: results are fetched to host inside the timed region —
 `block_until_ready` alone can return before remote-tunnel execution
-completes, which silently measures dispatch only.
+completes, which silently measures dispatch only.  All rates use
+two-point delta timing (iters vs 5*iters of the SAME compiled call):
+the ~10-15 ms fixed dispatch round-trip through the axon tunnel is
+~30% of a 50-iteration call and would otherwise deflate every rate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -97,8 +102,13 @@ def _refraction(r, bw):
 class BandwidthTracker:
     """Interleaved deliverable-HBM-bandwidth probing.
 
-    ``sample()`` runs the two neutral XLA probes (streaming read+write,
-    read-dominated GEMM) and folds the results into a running best.  The
+    ``sample()`` runs three neutral XLA probes (pure-read reduction,
+    streaming read+write, read-dominated GEMM) and folds the results
+    into a running best.  The pure-read probe is the binding one for
+    the roofline: the solver's required traffic is dominated by the
+    single X read per iteration, so the fair ceiling is deliverable
+    READ bandwidth, which the r+w stream understates (writes cost) and
+    the GEMM probe understates further (MXU pipeline overhead).  The
     bench calls it several times across its window so a transient slow
     patch of the shared tunnel cannot set the ceiling.  The best probe
     ever observed in this environment is persisted to
@@ -112,6 +122,8 @@ class BandwidthTracker:
         self.persist = persist
         self.samples_stream: list[float] = []
         self.samples_gemm: list[float] = []
+        self.samples_read: list[float] = []
+        self.anomalies: list[float] = []  # discarded >nominal samples
         self.best_prior = 0.0
         if persist and os.path.exists(_PROBE_STORE):
             try:
@@ -156,17 +168,114 @@ class BandwidthTracker:
 
         self._gemm = gemm_read
 
+        @jax.jit
+        def read_sum(x, it):
+            def body(t, c):
+                # maximum(x, t) defeats hoisting and algebraic rewrite:
+                # the comparand changes every trip, so the full array is
+                # genuinely re-read from HBM each iteration; the VPU
+                # max+sum is far below read bandwidth
+                return c + jnp.sum(jnp.maximum(x, t.astype(jnp.float32)))
+
+            return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
+
+        self._read = read_sum
+        self._pallas_read = None
+        if jax.default_backend() == "tpu":
+            # STREAM-style read probe in the kernel language the solver
+            # uses: XLA's generated code for plain reductions measures
+            # ~80 GB/s on this toolchain while the solver's Pallas
+            # pipeline demonstrably moves >600 GB/s, so an XLA-only
+            # probe set would understate the deliverable ceiling by ~4x
+            # and permanently force the nominal-spec fallback.  The
+            # probe is solver-independent: read strips, per-lane sum.
+            from jax.experimental import pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+
+            m, n, _ = self._gemm_shape
+            bm = 128
+
+            def kern(s_ref, x_ref, acc_ref):
+                @pl.when(pl.program_id(0) == 0)
+                def _():
+                    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+                # + s defeats cross-call CSE (s differs per loop trip)
+                acc_ref[:] += jnp.sum(x_ref[:] + s_ref[0, 0], axis=0,
+                                      keepdims=True)
+
+            call = pl.pallas_call(
+                kern,
+                grid=(m // bm,),
+                in_specs=[
+                    pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((bm, n), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((1, n), lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((1, n), jnp.float32),
+            )
+
+            @jax.jit
+            def pallas_read(x, it):
+                def body(t, c):
+                    s = jnp.reshape(t.astype(jnp.float32), (1, 1))
+                    return c + call(s, x)[0, 0]
+
+                return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
+
+            self._pallas_read = pallas_read
+
+    def _delta_time(self, fn, i1, i2):
+        """Seconds per pass from the (i1 vs i2)-pass wall-time delta —
+        cancels the ~10-15 ms fixed dispatch round-trip through the
+        tunnel, which would otherwise deflate every probe by ~10-30%."""
+        float(fn(i1))
+        float(fn(i2))  # same executable (dynamic trip count); warm both
+
+        def wall(it):
+            t0 = time.perf_counter()
+            float(fn(it))
+            return time.perf_counter() - t0
+
+        t1 = min(wall(i1), wall(i1))
+        t2 = min(wall(i2), wall(i2))
+        return max(t2 - t1, 1e-4) / (i2 - i1)
+
+    def _keep(self, bucket, bw):
+        """A sample above the chip's nominal HBM spec is not evidence of
+        bandwidth — it is evidence of a broken timing window (tunnel
+        fluctuation between the two delta points), so it is DISCARDED,
+        not capped: capping would launder an anomaly into a maximal
+        'measurement' and pin the ratchet at nominal forever."""
+        _, hbm_nominal = _chip_limits()
+        if bw <= hbm_nominal:
+            bucket.append(bw)
+        else:
+            self.anomalies.append(round(bw / 1e9, 1))
+
     def sample(self, iters=30):
-        t = _timeit(lambda b: self._stream(b, iters), self._buf) / iters
-        self.samples_stream.append(2 * self._mb * 1024 * 1024 / t)
         m, n, _ = self._gemm_shape
-        t = _timeit(lambda a, b: self._gemm(a, b, 10), self._x, self._h) / 10
-        self.samples_gemm.append(m * n * 4 / t)
+        if self._pallas_read is not None:
+            t = self._delta_time(lambda it: self._pallas_read(self._x, it),
+                                 10, 110)
+            self._keep(self.samples_read, m * n * 4 / t)
+        t = self._delta_time(lambda it: self._read(self._x, it), 5, 30)
+        self._keep(self.samples_read, m * n * 4 / t)
+        t = self._delta_time(lambda it: self._stream(self._buf, it),
+                             iters, 4 * iters)
+        self._keep(self.samples_stream, 2 * self._mb * 1024 * 1024 / t)
+        t = self._delta_time(lambda it: self._gemm(self._x, self._h, it),
+                             5, 30)
+        self._keep(self.samples_gemm, m * n * 4 / t)
 
     @property
     def bw_probe_best(self) -> float:
         """Best probe this run (NOT including the persisted prior)."""
-        return max(self.samples_stream + self.samples_gemm, default=0.0)
+        return max(self.samples_read + self.samples_stream
+                   + self.samples_gemm, default=0.0)
 
     @property
     def bw_ceiling(self) -> float:
@@ -192,6 +301,7 @@ class BandwidthTracker:
 
     def summary(self) -> dict:
         return {
+            "read_samples": [round(s / 1e9, 1) for s in self.samples_read],
             "stream_rw_samples": [round(s / 1e9, 1)
                                   for s in self.samples_stream],
             "gemm_read_samples": [round(s / 1e9, 1)
@@ -199,6 +309,7 @@ class BandwidthTracker:
             "best_this_run": round(self.bw_probe_best / 1e9, 1),
             "best_prior": round(self.best_prior / 1e9, 1),
             "used": round(self.bw_ceiling / 1e9, 1),
+            "discarded_anomalies_gbps": self.anomalies,
         }
 
 
@@ -222,31 +333,39 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
     fused_tile = mur_tileable(x, k) if use_pallas else None
     single_bm = iter_eu_tileable(x, k) if use_pallas else None
 
+    long_iters = 5 * iters
+
     def run(carry, stop_i):
         return _mur_block(
             x, xsq, carry, stop_i, 0.0, 0.0, 0.0, 0.0,
-            distance_type="eu", min_iter=iters + 1, max_iter=iters + 1,
+            distance_type="eu", min_iter=long_iters + 1,
+            max_iter=long_iters + 1,
             objective="gram", use_pallas=use_pallas, fused_tile=fused_tile,
             single_pass_bm=single_bm, verbose=False,
         )
 
     obj0 = jnp.asarray(0.0, dtype=jnp.float32)
-    carry = init_carry(obj0, iters + 1, (w0, h0))
-    out = run(carry, 2)
-    float(out.obj)  # warm-up: compile + one real execution
 
-    best_dt = float("inf")
-    final_obj = None
-    for _ in range(3):
-        carry = init_carry(obj0, iters + 1, (w0, h0))
+    def timed(stop_i):
+        carry = init_carry(obj0, long_iters + 1, (w0, h0))
         float(carry.obj)
         t0 = time.perf_counter()
-        out = run(carry, iters)
-        final_obj = float(out.obj)  # host fetch = true completion
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        out = run(carry, stop_i)
+        obj = float(out.obj)  # host fetch = true completion
+        return time.perf_counter() - t0, out, obj
 
-    assert int(out.i) == iters
-    iters_per_sec = iters / best_dt
+    float(run(init_carry(obj0, long_iters + 1, (w0, h0)), 2).obj)  # warm-up
+
+    # two-point delta timing: the fixed per-call cost (host dispatch
+    # round-trip through the axon tunnel, ~10-15 ms) is ~30% of a
+    # 50-iteration call and would silently deflate the rate, so the rate
+    # is taken from the (iters vs 5*iters) wall-time DELTA — same
+    # compiled function, only the dynamic stop index differs
+    t1 = min(timed(iters)[0], timed(iters)[0])
+    t2, out, final_obj = timed(long_iters)
+
+    assert int(out.i) == long_iters
+    iters_per_sec = (long_iters - iters) / max(t2 - t1, 1e-3)
     # 2 m*n*k-scale GEMMs per iteration (X@H^T, W^T@X) = 4mnk; the k x k
     # Gram algebra is the trailing term
     flops_per_iter = 4 * m * n * k + 6 * (m + n) * k * k
@@ -385,7 +504,7 @@ def main():
         ceiling_source = "nominal spec (probes undershot the solver)"
     else:
         headline_fraction = r16["roofline_fraction"]
-        ceiling_source = "xla probe"
+        ceiling_source = "measured probe (pallas-read/xla best-of)"
     probe = tracker.summary()
     print(json.dumps({
         "metric": "mur_eu_rank128_bf16x_gflops_per_chip",
@@ -421,8 +540,10 @@ def main():
             "note": "Headline = bf16-X single-pass EU iteration (fastest "
                     "production mode; bf16-bytes roofline accounting). "
                     "vs_baseline = fraction-of-roofline / 0.70; the "
-                    "ceiling is the best interleaved neutral-XLA probe "
-                    "(persisted best-ever for this environment), never "
+                    "ceiling is the best interleaved solver-independent "
+                    "probe (Pallas strip-read / XLA stream / GEMM, "
+                    "delta-timed, >nominal anomalies discarded; "
+                    "persisted best-ever for this environment), never "
                     "the solver itself. Memory-bound at rank 128: bytes "
                     "= X once + factor r/w only.",
         },

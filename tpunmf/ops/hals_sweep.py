@@ -45,6 +45,11 @@ def _gs_sweep_kernel(a_ref, g_ref, lam_ref, v_ref, out_ref, *, k: int,
     a = a_ref[:]                                      # (k, bm)
     lam = lam_ref[0, 0]
     p = jnp.dot(g, v, preferred_element_type=jnp.float32)
+    # row-selector masks: jnp.ndarray.at[].set lowers to the scatter
+    # primitive (unsupported by the Mosaic TPU backend) even for static
+    # indices, so single-row updates are constant-mask selects instead —
+    # the (row_iota == l) mask folds at compile time
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
     for _ in range(nsweeps):
         for l in range(k):                            # static indices
             gll = g[l, l]
@@ -52,7 +57,7 @@ def _gs_sweep_kernel(a_ref, g_ref, lam_ref, v_ref, out_ref, *, k: int,
             new = jnp.maximum(numer / (gll + lam + _EPS), 0.0)
             delta = new - v[l, :]
             p = p + g[:, l:l + 1] * delta[None, :]
-            v = v.at[l, :].set(new)
+            v = jnp.where(row_iota == l, new[None, :], v)
     out_ref[:] = v
 
 
@@ -60,29 +65,32 @@ def _gs_sweep_fori_kernel(a_ref, g_ref, diag_ref, lam_ref, v_ref, out_ref,
                           *, k: int, nsweeps: int):
     """Trace-light variant: the column chain as an in-kernel fori_loop.
 
-    Every dynamic access rides the SUBLANE axis (row slices of the
-    (k, *) operands) or SMEM (the Gram diagonal), which Mosaic handles
-    without relayouts; the cross-product row ``g[l, :] @ V`` is computed
-    on demand (k * bm MACs — the same total work as the rank-1 running
-    update, with ~k x smaller traced program than the unrolled form)."""
-    g = g_ref[:]                                      # (k, k)
-    a = a_ref[:]                                      # (k, bm)
+    Mosaic has no value-level ``dynamic_slice`` lowering, so every
+    dynamic access is a REF load/store with a sublane-axis ``pl.ds``
+    (row slices of the (k, *) VMEM refs) or an SMEM scalar read (the
+    Gram diagonal); ``out_ref`` doubles as the in-place sweep state.
+    The cross-product row ``g[l, :] @ V`` is computed on demand (k * bm
+    MACs — the same total work as the rank-1 running update, with ~k x
+    smaller traced program than the unrolled form)."""
     lam = lam_ref[0, 0]
+    out_ref[:] = v_ref[:]
 
-    def col(l, v):
-        row = jax.lax.dynamic_slice_in_dim(g, l, 1, axis=0)   # (1, k)
+    def col(l, carry):
+        row = g_ref[pl.ds(l, 1), :]                           # (1, k)
         gll = diag_ref[0, l]
-        al = jax.lax.dynamic_slice_in_dim(a, l, 1, axis=0)    # (1, bm)
-        vl = jax.lax.dynamic_slice_in_dim(v, l, 1, axis=0)
+        al = a_ref[pl.ds(l, 1), :]                            # (1, bm)
+        vl = out_ref[pl.ds(l, 1), :]
+        v = out_ref[:]                                        # (k, bm)
         numer = al - jnp.dot(row, v, preferred_element_type=jnp.float32) \
             + gll * vl
         new = jnp.maximum(numer / (gll + lam + _EPS), 0.0)
-        return jax.lax.dynamic_update_slice_in_dim(v, new, l, axis=0)
+        out_ref[pl.ds(l, 1), :] = new
+        return carry
 
-    def sweep(t, v):
-        return jax.lax.fori_loop(0, k, col, v)
+    def sweep(t, carry):
+        return jax.lax.fori_loop(0, k, col, carry)
 
-    out_ref[:] = jax.lax.fori_loop(0, nsweeps, sweep, v_ref[:])
+    jax.lax.fori_loop(0, nsweeps, sweep, jnp.int32(0))
 
 
 def gs_sweep_tileable(k: int, mdim: int) -> int | None:
@@ -93,15 +101,18 @@ def gs_sweep_tileable(k: int, mdim: int) -> int | None:
     per sweep, so very large ranks are left to the XLA path."""
     if k % 8 or k > 256:
         return None
-    budget = 12 * 1024 * 1024
+    budget = 14 * 1024 * 1024
     for bm in (2048, 1024, 512, 256, 128):
         if mdim % bm:
             continue
         # residency, counted the way Mosaic actually allocates it: the
         # three moving (k, bm) windows (a, v, out) are DOUBLE-buffered by
-        # the pipeline (6 strips), plus the in-kernel p = G @ V and the
-        # loaded v/a values (3 more) and the replicated Gram
-        if (9 * k * bm + k * k) * 4 <= budget:
+        # the pipeline (6 strips), the in-kernel p = G @ V and loaded v/a
+        # (3 more), plus the live temporaries of the unrolled select
+        # chain — MEASURED on v5e: the compiler's scoped-vmem stack for
+        # this kernel is ~20 (k, bm)-equivalents at k=128 (21.06 MB at
+        # bm=2048, from the AOT error), so budget 24 with headroom
+        if (24 * k * bm + k * k) * 4 <= budget:
             return bm
     return None
 
@@ -131,6 +142,9 @@ def _hals_iter_kernel(x_ref, ht_ref, hht_ref, w_ref, lam_ref,
     g = hht_ref[:]                                    # (k, k)
     lam = lam_ref[0, 0]
     p = jnp.dot(w, g, preferred_element_type=jnp.float32)
+    # constant-mask column selects instead of .at[].set (scatter is
+    # unsupported by the Mosaic TPU backend; see _gs_sweep_kernel)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     for _ in range(nsweeps):
         for l in range(k):                            # static indices
             gll = g[l, l]
@@ -138,7 +152,7 @@ def _hals_iter_kernel(x_ref, ht_ref, hht_ref, w_ref, lam_ref,
             new = jnp.maximum(numer / (gll + lam + _EPS), 0.0)
             delta = new - w[:, l]
             p = p + delta[:, None] * g[l:l + 1, :]
-            w = w.at[:, l].set(new)
+            w = jnp.where(col_iota == l, new[:, None], w)
     w_out_ref[:] = w
     wtx_ref[:] += jnp.dot(w.T.astype(xb.dtype), xb,
                           preferred_element_type=jnp.float32)
@@ -158,10 +172,8 @@ def hals_iter_tileable(x, k: int) -> int | None:
     m, n = x.shape
     xb = x.dtype.itemsize
     budget = 13 * 1024 * 1024
-    fixed = k * n * 4 + k * n * 4 + 2 * k * k * 4     # ht(f32) + wtx + grams
-    if xb != 4:
-        # the kernel casts H^T to X's dtype in-register every grid step
-        fixed += k * n * xb
+    # ht arrives pre-cast to X's dtype (see hals_iteration_eu); wtx f32
+    fixed = k * n * xb + k * n * 4 + 2 * k * k * 4
     for bm in (256, 128, 64, 32):
         if m % bm:
             continue
@@ -184,7 +196,8 @@ def hals_iteration_eu(x, w, h, *, lam_w: float, nsweeps: int, bm: int,
         raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
     ni = m // bm
     hht = h @ h.T
-    ht = h.T
+    ht = h.T.astype(x.dtype)  # pre-cast: identical math to the in-kernel
+    # astype (now a no-op); frees the f32 H^T from VMEM in bf16 mode
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
     kern = functools.partial(_hals_iter_kernel, k=k, nsweeps=nsweeps)
     return pl.pallas_call(

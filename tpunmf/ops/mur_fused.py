@@ -262,8 +262,11 @@ def _iter_eu_kernel(x_ref, ht_ref, w_ref, gh_ref, lw_ref, w_out_ref,
     W-numerator GEMM, in-register W update, and the H-numerator +
     W-Gram accumulations — X is read from HBM exactly ONCE per
     iteration (the 2-pass kernels read it twice).  H^T arrives
-    pre-transposed; the cast to X's dtype happens in-kernel where it
-    overlaps the strip DMA (measured faster than hoisting it)."""
+    pre-transposed AND pre-cast to X's dtype: keeping only the x-dtype
+    copy resident (instead of f32 + an in-kernel cast copy) frees ~6 MB
+    of VMEM in bf16 mode, which doubles the strip height to bm=128 —
+    full 128-deep MXU utilization on BOTH GEMMs (the second GEMM's
+    reduction dim is bm)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -294,11 +297,8 @@ def iter_eu_tileable(x, k: int):
     m, n = x.shape
     xb = x.dtype.itemsize
     budget = 14 * 1024 * 1024
-    fixed = 2 * k * n * 4 + k * k * 4 * 2             # ht(f32) + wtx + grams
-    if xb != 4:
-        # the kernel casts H^T to X's dtype in-register every grid step
-        # (ht_ref[:].astype) — that copy is resident too
-        fixed += k * n * xb
+    # ht arrives pre-cast to X's dtype (xb bytes); wtx accumulates in f32
+    fixed = k * n * xb + k * n * 4 + k * k * 4 * 2
     # bf16 strips need a 16-multiple sublane dim (Mosaic tile rule)
     cands = (512, 256, 128, 64, 32, 16) if xb == 2 else \
             (512, 256, 128, 64, 32, 16, 8)
@@ -327,7 +327,9 @@ def mur_iteration_eu(x, w, h, *, lam_w: float, bm: int,
         raise ValueError(f"bm={bm} must divide m={m} (grid would truncate)")
     ni = m // bm
     gh = h @ h.T
-    ht = h.T
+    ht = h.T.astype(x.dtype)  # pre-cast: identical math to the previous
+    # in-kernel astype (the kernel's astype is now a no-op), but only the
+    # x-dtype copy is VMEM-resident — see iter_eu_tileable
     lam_arr = jnp.reshape(jnp.asarray(lam_w, dtype=jnp.float32), (1, 1))
     kern = _iter_eu_kernel
     cost = pl.CostEstimate(

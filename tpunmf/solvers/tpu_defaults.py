@@ -39,9 +39,12 @@ def hals_use_pallas(backend: str) -> bool:
 
 def mur_single_pass_variant(backend: str) -> str:
     """'auto' = Mosaic-pipelined single-pass kernel (grid + BlockSpecs);
-    'dma' = manual double-buffered strip DMA (mur_iteration_eu_dma) —
-    the round-3 lever for the bf16 0.64-roofline gap.  Selected per
-    measurement on hardware (benchmarks/sweep_dma.py)."""
+    'dma' = manual double-buffered strip DMA (mur_iteration_eu_dma).
+    Measured on v5e (benchmarks/sweep_dma.py, 2026-08, delta timing,
+    8192x8192 r128 bf16, both at bm=128): auto 4928 it/s vs dma 4493 —
+    Mosaic's automatic pipeline wins once the strip height is right; the
+    round-2 "0.64 roofline gap" was the bm=64 strip (half-utilized MXU),
+    fixed by pre-casting H^T so bm=128 fits VMEM, not by manual DMA."""
     return "auto"
 
 
@@ -55,9 +58,12 @@ def hals_use_sweep_kernel(backend: str) -> bool:
 def hals_single_pass(backend: str) -> bool:
     """Whole HALS W-half (strip GEMM + in-register sweeps + H-numerator)
     in ONE X pass (ops/hals_sweep.hals_iteration_eu) when it tiles —
-    MUR-EU single-pass HBM traffic with HALS convergence.  Off until the
-    hardware run validates compile time and rate (flip after
-    benchmarks/run_r03_validation.sh)."""
+    MUR-EU single-pass HBM traffic with HALS convergence.  MEASURED
+    SLOWER on v5e (2026-08, 8192x8192 r128 f32): 190 it/s vs 1015 for
+    the two-pass + sweep-kernel path — the unrolled in-register sweep
+    inside every strip serializes against the strip GEMMs and starves
+    the pipeline.  Stays opt-in (rate_probe hals_single_pass_headline
+    re-tests it)."""
     return False
 
 
@@ -99,11 +105,16 @@ def ao_admm_inner_loop(backend: str) -> str:
 
 def ao_admm_spd_solver(backend: str) -> str:
     """With the masked-fori inner loop the CG subproblem solve sits
-    <=3-deep and no longer stalls compilation (case C restructured away,
-    round-3 re-test: benchmarks/repro_nested.py case C2); CG is the fast
-    TPU path (~62x on ANLS, docs/PERF.md).  Exact Cholesky remains the
-    CPU/parity default."""
-    return "chol" if backend != "tpu" else "chol"  # flipped after TPU test
+    <=3-deep and COMPILES cleanly (case C restructured away — round-3
+    hardware re-test: benchmarks/repro_nested.py case C2 OK).  But the
+    v5e A/B (rate_probe, 2048x1024 r64, 2008 iters) measured CG at
+    605 it/s with final objective 3339 vs Cholesky's 1874 it/s at
+    objective 108.9: CG's inner-solve tolerance interacts badly with the
+    ADMM dual updates (inexact subproblem solves stall the outer
+    convergence), so it is both slower per iteration here AND worse per
+    iteration.  Cholesky stays the default everywhere by MEASUREMENT,
+    not by compile fence; `spd_solver='cg'` remains user-selectable."""
+    return "chol"
 
 
 def ao_admm_use_pallas(backend: str) -> bool:
