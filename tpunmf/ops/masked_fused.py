@@ -32,11 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 _EPS = 1e-9
 
 
-def masked_tileable(x, k: int):
+def masked_tileable(x, k: int, mask_itemsize: int = 1):
     """(bm, bn) for the masked fused kernels, or None.
 
-    Budget includes the mask strip (same dtype class as X) and the two
-    (bm, k) accumulators the masked denominators need."""
+    Budget includes the mask strip (``mask_itemsize`` bytes/cell — int8
+    for binary masks, X's width for real-valued weight masks) and the
+    two (bm, k) accumulators the masked denominators need."""
     if x.dtype not in (jnp.float32, jnp.bfloat16):
         return None
     xb = x.dtype.itemsize
@@ -53,13 +54,14 @@ def masked_tileable(x, k: int):
     def budget(bm_, bn_):
         # x + mask strips (double-buffered), h block, w block, wh tile,
         # numer + denom accumulators
-        return (2 * bm_ * bn_ * xb * 2 + bn_ * k * 4 * 2
+        return (2 * bm_ * bn_ * (xb + mask_itemsize) + bn_ * k * 4 * 2
                 + bm_ * bn_ * 4 + 4 * bm_ * k * 4)
 
-    # bf16 strips need a 16-multiple sublane dim (Mosaic (16, 128) tile
-    # rule; interpret mode won't catch it) — and binary masks ride as
-    # bf16 even when X is f32 (solvers/masked.py), so always require it
-    min_bm = 16
+    # Mosaic native tile rules on the strip sublane dim (interpret mode
+    # won't catch them): bf16 needs 16-multiples, int8 needs
+    # 32-multiples; binary masks ride as int8 even when X is f32
+    # (solvers/masked.py), so require the strictest participating rule
+    min_bm = 32 if mask_itemsize == 1 else 16
     while budget(bm, bn) > 8 * 1024 * 1024 and bm > min_bm:
         bm //= 2
         if m % bm:
@@ -156,7 +158,8 @@ def masked_w_update(x, mask, w, h, *, distance_type: str, lam: float,
         scratch_shapes=[pltpu.VMEM((bm, k), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * m * n * k,
-            bytes_accessed=2 * m * n * x.dtype.itemsize + (2 * m * k + k * n) * 4,
+            bytes_accessed=m * n * (x.dtype.itemsize + mask.dtype.itemsize)
+            + (2 * m * k + k * n) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -249,7 +252,8 @@ def masked_h_update(x, mask, w, h, *, distance_type: str, lam: float,
         scratch_shapes=[pltpu.VMEM((k, bn), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=6 * m * n * k,
-            bytes_accessed=2 * m * n * x.dtype.itemsize + (m * k + 2 * k * n) * 4,
+            bytes_accessed=m * n * (x.dtype.itemsize + mask.dtype.itemsize)
+            + (m * k + 2 * k * n) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

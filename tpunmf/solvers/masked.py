@@ -184,16 +184,18 @@ def mur_masked(
     if tpu_defaults.mur_use_pallas(jax.default_backend()):
         from ..ops.masked_fused import masked_tileable
 
-        fused_tile = masked_tileable(x, k)
+        binary = bool(jnp.all((mask == 0) | (mask == 1)))
+        fused_tile = masked_tileable(
+            x, k, mask_itemsize=1 if binary else x.dtype.itemsize)
         if fused_tile is not None:
             # the kernels compute/emit float32 factors (X/M may stay bf16)
             w = w.astype(jnp.float32)
             h = h.astype(jnp.float32)
-            # a BINARY mask is exact in bf16 — halve its DMA bytes (the
-            # kernels read M alongside X every pass); real-valued weight
-            # masks keep their dtype
-            if bool(jnp.all((mask == 0) | (mask == 1))):
-                mask = mask.astype(jnp.bfloat16)
+            # a BINARY mask is exact in int8 — quarter its DMA bytes vs
+            # f32 (the kernels read M alongside X every pass and convert
+            # in-register); real-valued weight masks keep their dtype
+            if binary:
+                mask = mask.astype(jnp.int8)
 
     obj0 = (_masked_kl_obj if distance_type == "kl" else _masked_eu_obj)(
         x, mask, w, h)
