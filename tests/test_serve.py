@@ -295,3 +295,34 @@ def test_quantized_prestored_hq_matches_cast(rng):
         v_c, i_c = topk_retrieval(mesh, jnp.asarray(w), hs, k,
                                   first_stage_dtype="bf16")
         np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_c))
+
+
+def test_exact_topk_blocked_matches_lax(rng):
+    """Blocked exact top-k (per-block top-k + merge) must equal plain
+    ``lax.top_k`` bit-for-bit, ties included — lowest index wins.
+
+    Exercised with a small block so the blocked branch actually runs
+    (the production _TOPK_BLOCK=16384 only engages past ~32k items) and
+    with n NOT a multiple of the block to cover the -inf padding path.
+    """
+    import jax.numpy as jnp
+    from tpunmf.serve.topk import _exact_topk
+
+    b, n, k, block = 4, 1000, 17, 128
+    scores = rng.random((b, n)).astype(np.float32)
+    # force ties across block boundaries: same value at indices in
+    # different blocks; lax.top_k breaks ties by lowest index
+    scores[:, 5] = 0.999
+    scores[:, 400] = 0.999
+    scores[:, 900] = 0.999
+    s = jnp.asarray(scores)
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v_blk, i_blk = _exact_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i_blk), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v_blk), np.asarray(v_ref))
+    # fallthrough branches: small n, and k >= block
+    v2, i2 = _exact_topk(s, k, block=4096)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+    v3, i3 = _exact_topk(s, 130, block=128)
+    v3r, i3r = jax.lax.top_k(s, 130)
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i3r))

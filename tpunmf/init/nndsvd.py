@@ -96,9 +96,10 @@ def nndsvd(x, rank=None, variant: str = "zero", key=None, method: str = "auto",
       variant: 'zero' | 'mean' | 'random' fill for zero entries.
       key: PRNG key for the 'random' variant and randomized SVD.
       method: 'exact' (jnp.linalg.svd), 'randomized' (range-finder rSVD),
-        or 'auto' (exact up to min-dim 4096, randomized beyond — exact SVD
-        at recommender scale is the reference's scalability wall,
-        nmf/utils.py:44).
+        or 'auto' — exact up to min-dim 16384 on CPU (parity runs live
+        there) and 2048 on TPU (QDWH-based exact SVD is minutes at
+        MovieLens scale), randomized beyond; exact SVD at recommender
+        scale is the reference's scalability wall (nmf/utils.py:44).
       oversample, power_iters: randomized-SVD parameters.
     """
     x = jnp.asarray(x)

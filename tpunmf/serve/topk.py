@@ -22,11 +22,40 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 
+_TOPK_BLOCK = 16384
+
+
+def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK):
+    """Exact top-k over a wide item axis via per-block top-k + merge.
+
+    ``lax.top_k`` lowers to a full O(n log n) sort on TPU — measured
+    1.44 s for (64, 1M) f32, dwarfing the ~1 ms scoring GEMM.  Blocking
+    is exact (every global top-k element is a top-k element of its own
+    block) and reduces the work to nb cheap top-ks plus one merge over
+    nb*k candidates.  Tie order matches plain ``lax.top_k`` (lowest
+    index first): candidates are laid out block-major with index-ordered
+    ties inside each block, and indices in earlier blocks are strictly
+    smaller.
+    """
+    b, n = scores.shape
+    if n <= 2 * block or k >= block:
+        return jax.lax.top_k(scores, k)
+    nb = -(-n // block)
+    if nb * block != n:
+        pad = jnp.full((b, nb * block - n), -jnp.inf, scores.dtype)
+        scores = jnp.concatenate([scores, pad], axis=1)
+    vals, idx = jax.lax.top_k(scores.reshape(b, nb, block), k)
+    base = (jnp.arange(nb, dtype=idx.dtype) * block)[None, :, None]
+    gidx = (idx + base).reshape(b, nb * k)
+    v2, pos = jax.lax.top_k(vals.reshape(b, nb * k), k)
+    return v2, jnp.take_along_axis(gidx, pos, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def topk_scores_dense(w_batch, h, k: int):
     """Single-device scoring + top-k: returns (values, item_indices)."""
     scores = w_batch @ h  # (b, n)
-    return jax.lax.top_k(scores, k)
+    return _exact_topk(scores, k)
 
 
 _FIRST_STAGE_DTYPES = {"bf16": jnp.bfloat16, "f16": jnp.float16}
@@ -63,7 +92,7 @@ def _quantized_rerank(w_batch, h, k: int, dtype_name: str, oversample: int,
     if recall_target < 1.0:
         _, cand = jax.lax.approx_max_k(scores_q, c, recall_target=recall_target)
     else:
-        _, cand = jax.lax.top_k(scores_q, c)              # (b, c)
+        _, cand = _exact_topk(scores_q, c)                # (b, c)
     h_cand = jnp.take(h.T, cand, axis=0)                  # (b, c, r)
     scores = jnp.einsum("br,bcr->bc", w_batch, h_cand)    # exact rescore
     if exclude is not None:
@@ -116,7 +145,7 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
             vals, idx = jax.lax.approx_max_k(
                 scores, kk, recall_target=recall_target)
         else:
-            vals, idx = jax.lax.top_k(scores, kk)  # local candidates
+            vals, idx = _exact_topk(scores, kk)  # local candidates
         offset = jax.lax.axis_index("cols") * n_local
         idx = idx + offset
         # gather candidates from every shard and re-rank
@@ -209,7 +238,7 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
             scores = jnp.where(exclude, -jnp.inf, scores)
         if recall_target < 1.0:
             return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
-        return jax.lax.top_k(scores, k)
+        return _exact_topk(scores, k)
 
     n = h.shape[1]
     n_shards = mesh.shape["cols"]
