@@ -1,51 +1,58 @@
-"""Analytic per-iteration collective-bytes account for the sharded NMF
-schedules, and the DCN weak-scaling efficiency model it implies.
+"""Alpha-beta communication model for the sharded NMF schedules.
 
 BASELINE.json's north star asks for ">=80% weak-scaling efficiency to 2+
 hosts on a 100M-nonzero matrix".  Real multi-host hardware is not
 available in this environment (one tunneled chip), so this module gives
-the machine-checkable paper model: exact psum/all_gather/ppermute byte
-volumes per iteration for every schedule in tpunmf/parallel (the bytes
-are a property of the algorithm + layout, not of hardware), plus a
-roofline-style efficiency bound when those bytes ride ICI within a host
-and DCN across hosts.
+the machine-checkable paper model, upgraded round 4 from a
+[serial, fully-overlapped] bracket to ONE bounded estimate per
+(config, hosts) via a per-hop alpha-beta cost with explicit overlap
+accounting:
 
-Collective cost conventions (standard ring algorithms):
-  * psum (all-reduce) of an S-byte operand over d devices: each device
-    sends 2*(d-1)/d * S bytes (reduce-scatter + all-gather halves).
-  * all_gather of per-device S_loc bytes over d devices: each device
-    sends (d-1) * S_loc bytes (ring), receives the same.
-  * ppermute ring rotation of an S_loc panel over d steps: (d-1) * S_loc
-    bytes sent per device per full rotation; each step overlaps the next
-    panel's compute (tpunmf/parallel/collectives.py:169-206).
+  * every collective is decomposed into ring steps; a step costs
+    ``alpha + segment_bytes / beta`` (alpha = per-hop launch+fabric
+    latency, beta = link bandwidth);
+  * psum (ring all-reduce) of an S-byte operand over d devices:
+    2(d-1) steps of S/d bytes -> 2(d-1)*alpha + 2(d-1)/d * S/beta;
+  * all_gather of per-device S_loc bytes: (d-1) steps of S_loc;
+  * ppermute panel rotation: (d-1) steps of S_loc, where each step's
+    transfer is EXPLICITLY overlapped against the per-panel compute the
+    schedule runs concurrently (collectives.py:169-206 rotates H while
+    the current panel's GEMM runs): a step only exposes
+    ``max(0, t_step_transfer - t_step_compute)``.
+
+Parameterization (LinkParams):
+  * HBM bandwidth and MXU peak are the MEASURED single-chip numbers from
+    benchmarks/bw_probe_best.json (the bench's neutral-XLA probe
+    ratchet, 2026-08: 798 GB/s, 198 TF) — falling back to v5e nominal
+    (819 GB/s, 197 TF) when the file is absent;
+  * ICI/DCN bandwidth and per-hop latency CANNOT be measured on one
+    chip; they are stated assumptions, chosen conservatively: ICI
+    180 GB/s/chip send + 1 us/hop (v5e 2D-torus neighbor links are
+    ~400 GB/s aggregate; 180 assumes a single ring direction), DCN
+    25 GB/s/host shared + 10 us/hop (4x100GbE through a managed
+    switch).  The byte/step counts, by contrast, are exact properties
+    of the schedules and are pinned against the real sharded solvers'
+    compiled HLO in tests/test_collective_model.py.
 
 Schedules modeled (see tpunmf/parallel/{collectives,sharded_solvers}.py):
   tp_cols   X P(None,cols), H P(None,cols), W replicated.
-            Per iter: psum_cols(XHt m*k) + psum_cols(HHt k*k).
   mesh_2d   X P(rows,cols), W P(rows,None), H P(None,cols).
-            Per iter: psum_cols(XHt m_loc*k) + psum_rows(WtX k*n_loc)
-            + psum(HHt k*k, cols) + psum(WtW k*k, rows).
   ring      X fixed P(rows,cols); H panels rotate with ppermute.
-            Per iter: (d-1) ppermute sends of the k*(n/d) H panel for
-            the W half (overlapped), + the mesh_2d rows-psum for WtX.
   ulysses   X flips layout with one hoisted all_to_all; per iter
-            all_gather(W m_loc*k) + all_gather(H k*n_loc) over the axis.
-  rank      W P(None,rank), H P(rank,None), X replicated/row-sharded.
-            Per iter: psum(recon m*n_loc) for KL; EU works on Gram
-            cross-terms: all_gather(k_loc*k grams) + psum(k*k).
-
-Chip/link parameters default to TPU v5e: HBM 819 GB/s, bf16 MXU peak
-197 TFLOP/s, ICI ~4x 186 GB/s effective per chip (conservative single
-direction 400 GB/s aggregate), DCN ~= 25 GB/s per host (4x100GbE
-managed-switch conservative; set dcn_gbps to your fabric).
+            all_gather(W) + all_gather(H) over the axis.
+  rank      W P(None,rank), H P(rank,None): Gram cross-terms.
 """
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, asdict
+import os
+from dataclasses import dataclass, asdict, field
 
 GB = 1e9
+_PROBE_STORE = os.path.join(os.path.dirname(__file__), "bw_probe_best.json")
 
+
+# --------------------------------------------------------------- costs
 
 def psum_bytes(operand_bytes: float, d: int) -> float:
     """Per-device bytes sent by a ring all-reduce."""
@@ -57,61 +64,145 @@ def all_gather_bytes(local_bytes: float, d: int) -> float:
     return 0.0 if d <= 1 else (d - 1) * local_bytes
 
 
-def schedule_bytes(schedule: str, m: int, n: int, k: int,
-                   rows: int = 1, cols: int = 1, elem: int = 4) -> dict:
-    """Per-device collective bytes per MUR-EU iteration for a schedule.
+@dataclass
+class Collective:
+    """One collective of a schedule's per-iteration comm plan."""
+    kind: str             # 'psum' | 'all_gather' | 'ppermute_ring'
+    operand_bytes: float  # full operand (psum) / per-device shard (others)
+    d: int                # participating devices on the axis
+    fabric: str           # 'ici' | 'rows'
+    overlappable: bool = False  # schedule overlaps steps with compute
 
-    Returns {'ici': bytes on the cols axis, 'dcn': bytes on the rows
-    axis, 'overlappable': bytes that the schedule already overlaps with
-    compute by construction (ring ppermute steps)}.  The convention is
-    the production mesh: 'cols' inside a host (ICI), 'rows' across
-    hosts (DCN) — chosen because k*n_loc (rows-psum operand) is the
-    small factor panel while m_loc*k stays on ICI.
+    @property
+    def steps(self) -> int:
+        if self.d <= 1:
+            return 0
+        return 2 * (self.d - 1) if self.kind == "psum" else self.d - 1
+
+    @property
+    def bytes_sent(self) -> float:
+        if self.kind == "psum":
+            return psum_bytes(self.operand_bytes, self.d)
+        return all_gather_bytes(self.operand_bytes, self.d)
+
+    def time(self, alpha: float, beta: float) -> float:
+        """Serial alpha-beta time (no overlap credit)."""
+        return self.steps * alpha + self.bytes_sent / beta
+
+    def exposed_time(self, alpha: float, beta: float,
+                     t_compute_iter: float) -> float:
+        """Time this collective adds to the iteration.
+
+        Non-overlappable collectives expose their full alpha-beta time.
+        An overlappable ring rotation exposes only the per-step excess
+        over the per-panel compute slice it runs under: with d panels,
+        each of the (d-1) transfers overlaps ~t_compute/d of GEMM work.
+        """
+        if not self.overlappable or self.steps == 0:
+            return self.time(alpha, beta)
+        per_step = alpha + (self.bytes_sent / max(self.steps, 1)) / beta
+        compute_slice = t_compute_iter / self.d
+        return self.steps * max(0.0, per_step - compute_slice)
+
+
+def schedule_collectives(schedule: str, m: int, n: int, k: int,
+                         rows: int = 1, cols: int = 1,
+                         elem: int = 4) -> list[Collective]:
+    """The exact per-iteration collective plan of a schedule.
+
+    Convention (production mesh): 'cols' inside a host (ICI), 'rows'
+    across hosts (DCN) — the cross-host psum operand k*n_loc is the
+    small factor panel while m_loc*k stays on ICI.  Byte counts are
+    pinned against the compiled HLO of the real sharded solvers in
+    tests/test_collective_model.py.
     """
-    d = rows * cols
     m_loc, n_loc = m // max(rows, 1), n // max(cols, 1)
     kk = k * k * elem
     if schedule == "tp_cols":
-        # single-axis mesh: everything rides one fabric (report as ici)
-        return {"ici": psum_bytes(m * k * elem, cols) + psum_bytes(kk, cols),
-                "dcn": 0.0, "overlappable": 0.0}
+        return [
+            Collective("psum", m * k * elem, cols, "ici"),
+            Collective("psum", kk, cols, "ici"),
+        ]
     if schedule == "mesh_2d":
-        return {
-            "ici": psum_bytes(m_loc * k * elem, cols) + psum_bytes(kk, cols),
-            "dcn": psum_bytes(k * n_loc * elem, rows) + psum_bytes(kk, rows),
-            "overlappable": 0.0,
-        }
+        return [
+            Collective("psum", m_loc * k * elem, cols, "ici"),
+            Collective("psum", kk, cols, "ici"),
+            Collective("psum", k * n_loc * elem, rows, "rows"),
+            Collective("psum", kk, rows, "rows"),
+        ]
     if schedule == "ring":
         # H panel rotation replaces the cols-psum of XHt; each of the
         # (cols-1) sends is a k x n/cols panel and overlaps the next
         # panel's GEMM (collectives.py:169-206 rotates H, X never moves)
-        ring = all_gather_bytes(k * (n // max(cols, 1)) * elem, cols)
-        return {
-            "ici": psum_bytes(kk, cols),
-            "dcn": psum_bytes(k * n_loc * elem, rows) + psum_bytes(kk, rows),
-            "overlappable": ring,
-        }
+        return [
+            Collective("ppermute_ring", k * n_loc * elem, cols, "ici",
+                       overlappable=True),
+            Collective("psum", kk, cols, "ici"),
+            Collective("psum", k * n_loc * elem, rows, "rows"),
+            Collective("psum", kk, rows, "rows"),
+        ]
     if schedule == "ulysses":
-        # per iteration: all_gather W shards + all_gather H blocks
-        # (sharded_solvers.py:101-168); X's all_to_all is hoisted
-        return {
-            "ici": all_gather_bytes(m // max(cols, 1) * k * elem, cols)
-            + all_gather_bytes(k * n_loc * elem, cols),
-            "dcn": 0.0,
-            "overlappable": 0.0,
-        }
+        return [
+            Collective("all_gather", m // max(cols, 1) * k * elem, cols,
+                       "ici"),
+            Collective("all_gather", k * n_loc * elem, cols, "ici"),
+        ]
     if schedule == "rank":
-        # EU rank-sharded: all_gather of k_loc x k Gram cross-terms +
-        # two k x k psums (sharded_solvers.py:204-290 EU branch)
         k_loc = k // max(cols, 1)
-        return {
-            "ici": all_gather_bytes(k_loc * k * elem, cols)
-            + 2 * psum_bytes(kk, cols),
-            "dcn": 0.0,
-            "overlappable": 0.0,
-        }
+        return [
+            Collective("all_gather", k_loc * k * elem, cols, "ici"),
+            Collective("psum", kk, cols, "ici"),
+            Collective("psum", kk, cols, "ici"),
+        ]
     raise ValueError(f"unknown schedule {schedule!r}")
 
+
+def schedule_bytes(schedule: str, m: int, n: int, k: int,
+                   rows: int = 1, cols: int = 1, elem: int = 4) -> dict:
+    """Aggregate per-device collective bytes per iteration (back-compat
+    view of schedule_collectives)."""
+    out = {"ici": 0.0, "dcn": 0.0, "overlappable": 0.0}
+    for c in schedule_collectives(schedule, m, n, k, rows, cols, elem):
+        if c.overlappable:
+            out["overlappable"] += c.bytes_sent
+        else:
+            # 'dcn' here means "the rows axis" — whether those bytes
+            # actually ride DCN is a Scenario.row_fabric decision
+            out["dcn" if c.fabric == "rows" else "ici"] += c.bytes_sent
+    return out
+
+
+# --------------------------------------------------------- link params
+
+@dataclass
+class LinkParams:
+    """Hardware parameters: measured where one chip can measure, stated
+    assumptions where it can't (see module docstring)."""
+    hbm_gbps: float = 819.0       # v5e nominal; overridden by probe
+    mxu_tflops: float = 197.0     # v5e bf16 nominal; overridden by probe
+    ici_gbps: float = 180.0       # per-chip send, single ring direction
+    ici_alpha_us: float = 1.0     # per-hop ICI latency
+    dcn_gbps: float = 25.0        # per-HOST send, shared by its chips
+    dcn_alpha_us: float = 10.0    # per-hop DCN latency
+    source: str = "nominal"
+
+    @classmethod
+    def measured(cls) -> "LinkParams":
+        """HBM/MXU from the bench's best-ever neutral-XLA probes."""
+        p = cls()
+        try:
+            with open(_PROBE_STORE) as f:
+                stored = json.load(f)
+            p.hbm_gbps = float(stored["bw_best"]) / GB
+            if "mxu_best" in stored:
+                p.mxu_tflops = float(stored["mxu_best"]) / 1e12
+            p.source = f"measured ({stored.get('device', '?')} probe)"
+        except Exception:
+            pass
+        return p
+
+
+# ----------------------------------------------------------- scenarios
 
 @dataclass
 class Scenario:
@@ -127,17 +218,21 @@ class Scenario:
     coll_elem: int = 4         # collective operand dtype bytes
     nnz: int | None = None     # sparse: total nonzeros (else dense)
     densify_factor: float = 4.0  # dense panel cells per nnz (streaming)
-    inner_compute_mult: float = 1.0  # e.g. AO-ADMM admm_iter local work
-    hbm_gbps: float = 819.0
-    mxu_tflops: float = 197.0
-    ici_gbps: float = 180.0    # per-chip ICI send bandwidth (conservative)
-    dcn_gbps: float = 25.0     # per-HOST DCN send bandwidth
+    inner_compute_mult: float = 1.0  # e.g. AO-ADMM inner-loop local work
+    # What fabric the cross-host 'rows' axis rides.  'ici': hosts are in
+    # ONE v5e slice (the primary deployment — a v5e slice spans up to 16
+    # hosts / 256 chips on the same 2-D ICI torus; every chip has its
+    # own cross-host ICI links).  'dcn': hosts are separate slices
+    # (multislice), rows collectives share the host NIC.
+    row_fabric: str = "ici"
+    links: LinkParams = field(default_factory=LinkParams.measured)
 
     def evaluate(self) -> dict:
         rows, cols = self.hosts, self.chips_per_host
         d = rows * cols
         m_loc = self.m // max(rows, 1)
         n_loc = self.n // max(cols, 1)
+        L = self.links
         # --- compute floor per chip: max(HBM roofline, MXU roofline)
         if self.nnz is None:
             cells = m_loc * n_loc           # dense local block
@@ -146,29 +241,40 @@ class Scenario:
         flops = 4.0 * cells * self.k * self.inner_compute_mult
         x_bytes = cells * self.x_elem * self.inner_compute_mult
         fac_bytes = (4.0 * m_loc * self.k + 4.0 * self.k * n_loc) * 4
-        t_comp = max((x_bytes + fac_bytes) / (self.hbm_gbps * GB),
-                     flops / (self.mxu_tflops * 1e12))
-        # --- communication time
-        b = schedule_bytes(self.schedule, self.m, self.n, self.k,
-                           rows=rows, cols=cols, elem=self.coll_elem)
-        t_ici = (b["ici"] + b["overlappable"]) / (self.ici_gbps * GB)
-        # host NIC is shared by all chips of the host
-        t_dcn = b["dcn"] * cols / (self.dcn_gbps * GB)
-        t_comm = t_ici + t_dcn
-        # ring-overlappable bytes don't serialize when their per-step
-        # transfer is shorter than the per-step GEMM; report both bounds
-        t_ici_overlap = b["ici"] / (self.ici_gbps * GB)
-        t_comm_overlap = t_ici_overlap + t_dcn
-        eff_serial = t_comp / (t_comp + t_comm)
+        t_comp = max((x_bytes + fac_bytes) / (L.hbm_gbps * GB),
+                     flops / (L.mxu_tflops * 1e12))
+        # --- communication: alpha-beta per collective, overlap-aware
+        plan = schedule_collectives(self.schedule, self.m, self.n, self.k,
+                                    rows=rows, cols=cols,
+                                    elem=self.coll_elem)
+        t_exposed = t_serial = 0.0
+        bytes_acc = {"ici": 0.0, "dcn": 0.0, "overlappable": 0.0}
+        for c in plan:
+            if c.fabric == "rows" and self.row_fabric == "dcn":
+                # multislice: the host NIC is shared by the host's chips
+                alpha, beta = L.dcn_alpha_us * 1e-6, L.dcn_gbps * GB / cols
+            else:
+                alpha, beta = L.ici_alpha_us * 1e-6, L.ici_gbps * GB
+            t_serial += c.time(alpha, beta)
+            t_exposed += c.exposed_time(alpha, beta, t_comp)
+            if c.overlappable:
+                key = "overlappable"
+            elif c.fabric == "rows" and self.row_fabric == "dcn":
+                key = "dcn"
+            else:
+                key = "ici"
+            bytes_acc[key] += c.bytes_sent
+        eff = t_comp / (t_comp + t_exposed)
         return {
-            **asdict(self),
-            "bytes_per_iter_per_chip": {kk: round(v) for kk, v in b.items()},
+            **{kk: v for kk, v in asdict(self).items() if kk != "links"},
+            "links": asdict(L),
+            "bytes_per_iter_per_chip": {kk: round(v)
+                                        for kk, v in bytes_acc.items()},
             "t_compute_ms": round(t_comp * 1e3, 4),
-            "t_ici_ms": round(t_ici * 1e3, 4),
-            "t_dcn_ms": round(t_dcn * 1e3, 4),
-            "efficiency_no_overlap": round(eff_serial, 3),
-            "efficiency_with_overlap": round(
-                min(1.0, t_comp / max(t_comp, t_comm_overlap)), 3),
+            "t_comm_serial_ms": round(t_serial * 1e3, 4),
+            "t_comm_exposed_ms": round(t_exposed * 1e3, 4),
+            "efficiency_no_overlap": round(t_comp / (t_comp + t_serial), 3),
+            "efficiency": round(eff, 3),
         }
 
 
@@ -179,41 +285,54 @@ def baseline_scenarios() -> list[dict]:
     (and nnz/chip) stays constant, hosts extend the row axis (the mesh
     'rows' axis rides DCN, so the cross-host psum operand k*n_loc is a
     small factor panel and its bytes are CONSTANT in host count — the
-    only growth is the ring all-reduce factor 2(H-1)/H -> 2).
+    only growth is the ring all-reduce factor 2(H-1)/H -> 2 plus the
+    alpha terms' 2(H-1) hops).
     """
     out = []
     # (a) dense production unit: an HBM-filling bf16 per-chip block
     # (262144 x 8192, ~4.3 GB) at rank 128, bf16 collectives, ring
-    # schedule (H-panel ppermute rotation overlaps per-step GEMMs;
-    # collectives.py:169-206).  The serial bound (zero overlap credited)
-    # already clears 80% at 2 hosts; the built-in ring overlap keeps
-    # 4-8 hosts above it.
+    # schedule (H-panel ppermute rotation overlaps per-step GEMMs).
     for hosts in (1, 2, 4, 8):
         out.append(Scenario(
             name=f"dense_ring_bf16_262144rows_{hosts}host",
             schedule="ring", m=262_144 * hosts, n=8192 * 8, k=128,
             hosts=hosts, chips_per_host=8, x_elem=2,
             coll_elem=2).evaluate())
-    # (b) BASELINE "100M-nonzero matrix" at config[4] shape: 1M x 100k
-    # sparse (100M nnz = 0.1% dense), rank 256, growing rows/nnz with
-    # hosts (500k rows + 50M nnz per host).  Streamed dense panels at
-    # densify_factor 4 (measured round-2 panelizer regime), bf16
-    # collectives, ring schedule.  This is the sparsest, least
-    # compute-dense case the target names; the serial bound is below
-    # 80% (per-chip work is only ~6M nnz) and the claim rests on the
-    # ring/async overlap the schedule was built for.
-    for hosts in (2, 4):
-        out.append(Scenario(
-            name=f"config4_mur_eu_sparse_{hosts}host", schedule="ring",
-            m=500_000 * hosts, n=100_000, k=256, hosts=hosts,
-            chips_per_host=8, nnz=50_000_000 * hosts,
-            densify_factor=4.0, coll_elem=2).evaluate())
-    # (c) the same without any overlap credit and f32 collectives —
-    # the honest worst case, reported for transparency
+    # (b) config[3]: ADMM with L1-regularized H, 50k x 20k sparse,
+    # rank 128 (BASELINE.json configs[3]).  Density unstated in the
+    # config; assume 10% (100M nnz at this shape — the north star's
+    # own nonzero count), streamed dense panels at densify_factor 4.
+    # Flat ADMM's per-iteration X traffic matches MUR (W^T X and X H^T
+    # once each); the k x k solves and prox are rank-sized local work
+    # (inner_compute_mult 1.2 covers them).  Weak scaling grows rows.
+    # (c) config[4]: AO-ADMM KL + mixed regularizers, 1M x 100k sharded,
+    # rank 256, 100M nnz (BASELINE.json configs[4] + north star).
+    # 500k rows + 50M nnz per host; inner-ADMM loops are factor-sized
+    # local work on top of the single X pass (inner_compute_mult 1.5,
+    # measured round-2 inner/outer cost ratio at 5 inner iters).
+    # Each at BOTH deployments: single-slice (rows on ICI — the primary
+    # v5e deployment through 16 hosts) and multislice (rows on DCN).
+    for hosts in (2, 4, 8):
+        for fab in ("ici", "dcn"):
+            out.append(Scenario(
+                name=f"config3_admm_l1_sparse_{hosts}host_rows-{fab}",
+                schedule="ring", m=25_000 * hosts, n=20_000, k=128,
+                hosts=hosts, chips_per_host=8, nnz=50_000_000 * hosts,
+                densify_factor=4.0, inner_compute_mult=1.2,
+                coll_elem=2, row_fabric=fab).evaluate())
+            out.append(Scenario(
+                name=f"config4_ao_admm_kl_sparse_{hosts}host_rows-{fab}",
+                schedule="ring", m=500_000 * hosts, n=100_000, k=256,
+                hosts=hosts, chips_per_host=8, nnz=50_000_000 * hosts,
+                densify_factor=4.0, inner_compute_mult=1.5,
+                coll_elem=2, row_fabric=fab).evaluate())
+    # (d) config[4] without any overlap credit and f32 collectives on a
+    # plain 2-D mesh over DCN — the honest worst case, for transparency
     out.append(Scenario(
-        name="config4_mur_eu_sparse_2host_serial_f32", schedule="mesh_2d",
-        m=1_000_000, n=100_000, k=256, hosts=2, chips_per_host=8,
-        nnz=100_000_000, densify_factor=4.0).evaluate())
+        name="config4_ao_admm_kl_2host_serial_f32_rows-dcn",
+        schedule="mesh_2d", m=1_000_000, n=100_000, k=256, hosts=2,
+        chips_per_host=8, nnz=100_000_000, densify_factor=4.0,
+        inner_compute_mult=1.5, row_fabric="dcn").evaluate())
     return out
 
 
@@ -232,7 +351,13 @@ def schedule_table(m=8192, n=8192, k=128) -> dict:
 
 
 if __name__ == "__main__":
-    print(json.dumps({
+    report = {
+        "model": "alpha-beta per-hop with explicit ring-overlap exposure "
+                 "(round 4); HBM/MXU measured, ICI/DCN stated assumptions",
         "schedule_bytes_8192x8192_r128": schedule_table(),
         "scenarios": baseline_scenarios(),
-    }, indent=1))
+    }
+    print(json.dumps(report, indent=1))
+    with open(os.path.join(os.path.dirname(__file__),
+                           "weak_scaling_r04.json"), "w") as f:
+        json.dump(report, f, indent=1)

@@ -82,13 +82,27 @@ def config0_mur_eu(scale):
     return out
 
 
-def config1_mur_kl(scale):
+def config1_mur_kl(scale, newsgroups_root=None):
     from tpunmf.data import tfidf_like
     from tpunmf.solvers import mur
 
-    m, n, k = max(200, int(20000 * scale)), max(100, int(11000 * scale)), 50
-    k = min(k, min(m, n) // 2)
-    x = np.asarray(tfidf_like(m, n, n_topics=k, seed=1), dtype=np.float64)
+    if newsgroups_root:
+        # the REAL archive (BASELINE config[1]): a 20news-bydate-style
+        # directory tree; drops in with zero code the moment the data
+        # exists in the environment
+        from tpunmf.data.loaders import load_newsgroups_tfidf
+
+        csr, _, _ = load_newsgroups_tfidf(newsgroups_root,
+                                          max_features=20000)
+        x = np.asarray(csr.todense(), dtype=np.float64)
+        m, n = x.shape
+        k = 50
+    else:
+        m, n, k = (max(200, int(20000 * scale)),
+                   max(100, int(11000 * scale)), 50)
+        k = min(k, min(m, n) // 2)
+        x = np.asarray(tfidf_like(m, n, n_topics=k, seed=1),
+                       dtype=np.float64)
     kw = dict(distance_type="kl", min_iter=20, max_iter=300, tol1=1e-6,
               tol2=1e-6, nndsvd_init=(True, "zero"))
     ours = mur(x, k, **kw)
@@ -106,14 +120,26 @@ def config1_mur_kl(scale):
     return out
 
 
-def config2_anls_recall(scale):
+def config2_anls_recall(scale, movielens_path=None):
     from tpunmf.data import movielens_like
     from tpunmf.serve import recall_at_k, topk_scores_dense
     from tpunmf.solvers import anls
 
-    m, n, k = max(120, int(6040 * scale)), max(80, int(3706 * scale)), 64
-    k = min(k, min(m, n) // 2)
-    x = np.asarray(movielens_like(m, n, density=0.2, seed=2), dtype=np.float64)
+    if movielens_path:
+        # the REAL archive (BASELINE config[2]): ratings.dat / u.data /
+        # ratings.csv; drops in with zero code when the data exists
+        from tpunmf.data.loaders import load_movielens
+
+        csr, _, _ = load_movielens(movielens_path)
+        x = np.asarray(csr.todense(), dtype=np.float64)
+        m, n = x.shape
+        k = 64
+    else:
+        m, n, k = (max(120, int(6040 * scale)),
+                   max(80, int(3706 * scale)), 64)
+        k = min(k, min(m, n) // 2)
+        x = np.asarray(movielens_like(m, n, density=0.2, seed=2),
+                       dtype=np.float64)
     kw = dict(min_iter=5, max_iter=40, tol1=1e-6, tol2=1e-6,
               nndsvd_init=(True, "zero"))
     ours = anls(x, k, use_fcnnls=True, **kw)
@@ -224,9 +250,21 @@ def main():
     ap.add_argument("--scale", type=float, default=0.1)
     ap.add_argument("--out", default=None)
     ap.add_argument("--configs", default="0,1,2,3,4")
+    ap.add_argument("--newsgroups-root", default=None,
+                    help="path to a 20news-bydate-style directory tree: "
+                         "config1 runs on the REAL archive")
+    ap.add_argument("--movielens-path", default=None,
+                    help="path to ratings.dat/u.data/ratings.csv: "
+                         "config2 runs on the REAL archive")
     args = ap.parse_args()
 
-    runners = [config0_mur_eu, config1_mur_kl, config2_anls_recall,
+    import functools
+
+    runners = [config0_mur_eu,
+               functools.partial(config1_mur_kl,
+                                 newsgroups_root=args.newsgroups_root),
+               functools.partial(config2_anls_recall,
+                                 movielens_path=args.movielens_path),
                config3_admm_sparse, config4_ao_admm_sharded]
     wanted = {int(c) for c in args.configs.split(",")}
     report = {"scale": args.scale, "reference_available": HAS_REF, "configs": []}

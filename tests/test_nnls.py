@@ -154,3 +154,40 @@ def test_dead_component_zero_gram_diagonal(rng):
         for j in range(p):
             ref, _ = scipy_nnls(c[:, keep], a[:, j])
             np.testing.assert_allclose(k[keep, j], ref, atol=1e-8)
+
+
+def test_warm_start_values_cg_matches_scipy(problem):
+    """k0 value warm starts (CG x0) keep the exact NNLS fixed point —
+    from a perturbed near-solution AND from a bad (wrong-support) one."""
+    c, a = problem
+    ct_c, ct_a = c.T @ c, c.T @ a
+    expect = _scipy_columns(c, a)
+    rng = np.random.default_rng(5)
+    near = expect * (1.0 + 0.05 * rng.standard_normal(expect.shape))
+    near = np.maximum(near, 0.0)
+    got = np.asarray(nnls_activeset(ct_c, ct_a, near > 0, near,
+                                    solve_method="cg"))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-6)
+    bad = np.maximum(rng.standard_normal(expect.shape), 0.0)
+    got2 = np.asarray(nnls_activeset(ct_c, ct_a, bad > 0, bad,
+                                     solve_method="cg"))
+    np.testing.assert_allclose(got2, expect, rtol=1e-4, atol=1e-6)
+
+
+def test_warm_start_values_require_support():
+    ct_c = np.eye(3)
+    ct_a = np.ones((3, 2))
+    with pytest.raises(ValueError, match="require p_set0"):
+        nnls_activeset(ct_c, ct_a, None, np.ones((3, 2)))
+
+
+def test_k0_ignored_by_chol_path(problem):
+    """The direct solver must be bitwise-identical with and without k0
+    (golden ANLS parity rides this path)."""
+    c, a = problem
+    ct_c, ct_a = c.T @ c, c.T @ a
+    p0 = _scipy_columns(c, a) > 0
+    base = np.asarray(nnls_activeset(ct_c, ct_a, p0))
+    with_k0 = np.asarray(nnls_activeset(ct_c, ct_a, p0, np.maximum(
+        _scipy_columns(c, a), 0.0)))
+    np.testing.assert_array_equal(base, with_k0)

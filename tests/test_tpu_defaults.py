@@ -29,6 +29,13 @@ def test_anls_defaults_fence_case_a_and_b():
     assert td.anls_device_loop("cpu", "chol") is True
     # case A: no Pallas objective inside the NNLS-bearing loop
     assert td.anls_use_pallas("tpu") is False
+    # CG step count: reduced on TPU (k0 warm starts, measured sweep);
+    # CPU keeps the exact l+8 bound — parity tests live there
+    assert td.anls_cg_iters("cpu") == 0
+    assert td.anls_cg_iters("tpu") > 0
+    # duals/CG internals at 3-pass f32 on TPU (bf16-noise duals cycle)
+    assert td.anls_nnls_precision("cpu") is None
+    assert td.anls_nnls_precision("tpu") == "highest"
 
 
 def test_ao_admm_defaults_fence_case_c():

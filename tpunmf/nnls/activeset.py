@@ -29,10 +29,18 @@ one kernel.
 """
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+def _prec_ctx(precision):
+    """Trace-time matmul-precision scope (None = caller's default)."""
+    if precision is None:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(precision)
 
 
 # cap on the (p, l, l) batched-system temporary built per solve
@@ -59,7 +67,7 @@ def _masked_solve_block(ct_c, ct_a_t, m):
     return sol[:, :, 0]
 
 
-def masked_solve(ct_c, ct_a, p_set):
+def masked_solve(ct_c, ct_a, p_set, *, x0=None):
     """Batched solve of per-column passive-set subsystems.
 
     For column j with passive mask m: solves
@@ -72,8 +80,11 @@ def masked_solve(ct_c, ct_a, p_set):
 
     Args:
       ct_c: (l, l); ct_a: (l, p); p_set: (l, p) bool.
+      x0: ignored (direct solve) — accepted so call sites can pass a
+        warm start uniformly to either solve method.
     Returns: (l, p) solution with zeros outside the passive sets.
     """
+    del x0
     dtype = ct_a.dtype
     l, p = ct_a.shape
     m = p_set.T.astype(dtype)                      # (p, l)
@@ -96,7 +107,8 @@ def masked_solve(ct_c, ct_a, p_set):
     return sol[:p].T
 
 
-def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0):
+def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0, x0=None,
+                    precision: str | None = None):
     """Masked per-column solves via Jacobi-preconditioned CG.
 
     Key identity: the masked matvec for EVERY column at once,
@@ -108,8 +120,20 @@ def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0):
     agreement with the direct solve to solver precision in f64 and ~1e-5
     in f32.
 
+    ``x0`` warm-starts the iteration (masked onto the passive set) at the
+    cost of one extra matvec for the initial residual.  Inside ANLS the
+    previous iterate's solution is a near-solution of the new system, so
+    the initial residual is small and far fewer steps reach the same
+    accuracy — the measured basis for the reduced TPU ``cg_iters``
+    default (docs/PERF.md round 4).
+
     Same signature/semantics as :func:`masked_solve`.
     """
+    with _prec_ctx(precision):
+        return _masked_solve_cg_body(ct_c, ct_a, p_set, iters=iters, x0=x0)
+
+
+def _masked_solve_cg_body(ct_c, ct_a, p_set, *, iters, x0):
     l, p = ct_a.shape
     if iters == 0:
         iters = l + 8
@@ -122,8 +146,12 @@ def masked_solve_cg(ct_c, ct_a, p_set, *, iters: int = 0):
     def matvec(v):
         return m * (ct_c @ (m * v)) + (1.0 - m) * v
 
-    x = jnp.zeros_like(b)
-    r = b
+    if x0 is None:
+        x = jnp.zeros_like(b)
+        r = b
+    else:
+        x = m * x0.astype(dtype)
+        r = b - matvec(x)
     z = r / diag
     pvec = z
     rz = jnp.sum(r * z, axis=0)                   # (p,)
@@ -151,11 +179,13 @@ def _one_hot_cols(idx, l):
 
 
 @partial(jax.jit, static_argnames=("max_outer", "inner_cap", "solve_method",
-                                   "opt_tol_ulps", "freeze_stalled"))
-def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
+                                   "opt_tol_ulps", "freeze_stalled",
+                                   "cg_iters", "precision"))
+def nnls_activeset(ct_c, ct_a, p_set0=None, k0=None, *, max_outer: int = 0,
                    inner_cap: int = 0, solve_method: str = "chol",
                    opt_tol_ulps: float = 100.0,
-                   freeze_stalled: bool = True):
+                   freeze_stalled: bool = True, cg_iters: int = 0,
+                   precision: str | None = None):
     """Batched NNLS via masked active sets.
 
     Args:
@@ -165,6 +195,10 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         support of the previous ANLS iterate).  The fixed point is the
         unique NNLS optimum either way — warm starts change only the
         iteration count, not the answer.
+      k0: optional (l, p) warm-start VALUES (the previous iterate itself;
+        requires p_set0).  CG solves start from the masked k0 instead of
+        zero — strictly more accurate at the same step count, and the
+        basis for reducing ``cg_iters`` on TPU.  Ignored by 'chol'.
       max_outer: bound on outer optimality iterations (default 5*l + 10).
       inner_cap: shared feasibility-restoration budget, like the reference's
         ``iter_max = 3 * l_var`` (nmf/fcnnls.py:10); default 3*l.
@@ -172,6 +206,18 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         (GEMM-shaped CG, see masked_solve_cg — faster on TPU).
       opt_tol_ulps: CG-path dual optimality slack in units of dtype ulps
         (exact solves use a zero tolerance regardless).
+      cg_iters: CG step count per solve (0 = the exact-arithmetic bound
+        l + 8).  With k0 warm starts a much smaller count reaches the
+        same objective — see tpu_defaults.anls_cg_iters for the measured
+        TPU default.
+      precision: matmul precision for the rank-sized internals (duals
+        ``ct_c @ k`` and the CG matvecs) — e.g. 'highest' for 3-pass f32
+        on TPU, where the default 1-pass bf16 GEMM leaves ~1e-2 relative
+        noise on the duals and makes columns cycle on noise (measured:
+        exact-bound CG at 'highest' runs 1.5x FASTER than at 'default'
+        despite 3x the matmul passes, benchmarks/anls_cg_sweep.json).
+        These ops are k-sized — the 3-pass cost is negligible next to
+        the X-sized products, which keep the caller's precision.
       freeze_stalled: anti-cycling guard — a column whose NNLS objective
         fails to decrease by more than ~64 ulps (relative) across an
         exchange is at its numerical optimum and is retired.  The exact
@@ -183,8 +229,14 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
 
     Returns: (l, p) non-negative minimizer.
     """
-    _solve = masked_solve if solve_method == "chol" else masked_solve_cg
+    if solve_method == "chol":
+        _solve = masked_solve
+    else:
+        _solve = partial(masked_solve_cg, iters=cg_iters,
+                         precision=precision)
     l, p = ct_a.shape
+    if k0 is not None and p_set0 is None:
+        raise ValueError("k0 warm-start values require p_set0")
     if max_outer == 0:
         max_outer = 5 * l + 10
     if inner_cap == 0:
@@ -210,7 +262,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         f_mask = ~jnp.all(p_set, axis=0)  # columns still active (step 6)
     else:
         p_set = p_set0
-        k = _solve(ct_c, ct_a, p_set)
+        k = _solve(ct_c, ct_a, p_set, x0=k0)
         d = jnp.maximum(k, 0.0)
         f_mask = jnp.ones((p,), dtype=bool)  # let optimality decide
     warm = p_set0 is not None
@@ -231,7 +283,7 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         d_new = jnp.where(hit, 0.0, d_new)
         d = jnp.where(h_mask[None, :], d_new, d)
         p_set = jnp.logical_and(p_set, jnp.logical_not(hit))
-        k_new = _solve(ct_c, ct_a, p_set)
+        k_new = _solve(ct_c, ct_a, p_set, x0=k)
         k = jnp.where(h_mask[None, :], k_new, k)
         h_mask = jnp.any(k < 0, axis=0)
         return (k, d, p_set, h_mask, it + 1)
@@ -246,10 +298,10 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
             # warm start: iteration 0's solve already happened at init
             # (p_set unchanged) — skip the redundant batched solve
             k_new = jax.lax.cond(
-                it == 0, lambda: k, lambda: _solve(ct_c, ct_a, p_set)
+                it == 0, lambda: k, lambda: _solve(ct_c, ct_a, p_set, x0=k)
             )
         else:
-            k_new = _solve(ct_c, ct_a, p_set)
+            k_new = _solve(ct_c, ct_a, p_set, x0=k)
         k = jnp.where(f_mask[None, :], k_new, k)
 
         # feasibility restoration (inner loop, fcnnls steps 10-13)
@@ -263,7 +315,8 @@ def nnls_activeset(ct_c, ct_a, p_set0=None, *, max_outer: int = 0,
         # the CG path carries ~solver-tolerance noise in the duals, so
         # degenerate (~0) duals need a scale-relative epsilon or columns
         # cycle until max_outer.
-        w_grad = ct_a - ct_c @ k
+        with _prec_ctx(precision):
+            w_grad = ct_a - ct_c @ k
         grad_off = jnp.where(p_set, 0.0, w_grad)
         if solve_method == "cg":
             # ~100 ulps at the working precision: f32 gets ~1e-5 relative

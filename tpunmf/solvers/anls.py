@@ -41,6 +41,21 @@ from .common import (
 )
 
 
+def _make_solve(nnls_solver: str, solve_method: str, nnls_opts_t: tuple):
+    """Uniform half-problem solve: (ct_c, ct_a, prev) -> solution.
+
+    ``prev`` is the previous iterate for this half — its support becomes
+    the warm-start passive set (both kernels) and, for the active-set/CG
+    path, its values become the CG starting point.
+    """
+    if nnls_solver == "bpp":
+        base = partial(nnls_bpp, solve_method=solve_method)
+        return lambda ct_c, ct_a, prev: base(ct_c, ct_a, prev > 0)
+    base = partial(nnls_activeset, solve_method=solve_method,
+                   **dict(nnls_opts_t))
+    return lambda ct_c, ct_a, prev: base(ct_c, ct_a, prev > 0, prev)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -74,22 +89,21 @@ def _anls_block(
     use_pallas: bool,
     verbose: bool,
 ):
-    solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
-                    solve_method=solve_method,
-                    **(dict(nnls_opts_t) if nnls_solver != "bpp" else {}))
+    solve = _make_solve(nnls_solver, solve_method, nnls_opts_t)
     eye = jnp.eye(k, dtype=x.dtype)
 
     def step(inner, i):
         w, h = inner
         # W update: normal equations of [h.T; sqrt(2*lw) I] vs [x.T; 0]
         # (nmf/anls.py:18-31 folded: CtC = h h^T + 2*lw*I, CtA = h x^T);
-        # warm-started from the previous iterate's support (the fixed point
-        # is the exact NNLS optimum, so trajectories are unchanged)
+        # warm-started from the previous iterate's support AND values (the
+        # fixed point is the exact NNLS optimum, so trajectories are
+        # unchanged; CG solves start from the masked previous solution)
         ct_c = h @ h.T + 2.0 * lambda_w * eye
-        w = solve(ct_c, h @ x.T, w.T > 0).T
+        w = solve(ct_c, h @ x.T, w.T).T
         # H update (nmf/anls.py:34-47)
         ct_c = w.T @ w + 2.0 * lambda_h * eye
-        h = solve(ct_c, w.T @ x, h > 0)
+        h = solve(ct_c, w.T @ x, h)
 
         if distance_type == "kl":
             _, obj = kl_ratio_and_obj(x, w, h, use_pallas=use_pallas)
@@ -119,14 +133,12 @@ def _anls_iter(
     solver's own while_loop (3-deep nesting) faults the TPU runtime — see
     docs/PERF.md.  Each call is nesting depth 2, which is stable.
     """
-    solve = partial(nnls_bpp if nnls_solver == "bpp" else nnls_activeset,
-                    solve_method=solve_method,
-                    **(dict(nnls_opts_t) if nnls_solver != "bpp" else {}))
+    solve = _make_solve(nnls_solver, solve_method, nnls_opts_t)
     eye = jnp.eye(k, dtype=x.dtype)
     ct_c = h @ h.T + 2.0 * lambda_w * eye
-    w = solve(ct_c, h @ x.T, w.T > 0).T
+    w = solve(ct_c, h @ x.T, w.T).T
     ct_c = w.T @ w + 2.0 * lambda_h * eye
-    h = solve(ct_c, w.T @ x, h > 0)
+    h = solve(ct_c, w.T @ x, h)
     if distance_type == "kl":
         _, obj = kl_ratio_and_obj(x, w, h, use_pallas=use_pallas)
     else:
@@ -188,11 +200,19 @@ def anls(
         masked_solver = anls_masked_solver(jax.default_backend())
     if masked_solver not in ("chol", "cg"):
         raise ValueError("masked_solver must be 'chol' or 'cg'")
-    nnls_opts_t = tuple(sorted((nnls_opts or {}).items()))
-    if nnls_opts_t and nnls_solver == "bpp":
+    nnls_opts = dict(nnls_opts or {})
+    if nnls_opts and nnls_solver == "bpp":
         raise ValueError(
             "nnls_opts applies to the active-set solver only; it would be "
             "silently ignored with nnls_solver='bpp'")
+    if nnls_solver == "activeset" and masked_solver == "cg":
+        from .tpu_defaults import anls_cg_iters, anls_nnls_precision
+
+        nnls_opts.setdefault("cg_iters",
+                             anls_cg_iters(jax.default_backend()))
+        nnls_opts.setdefault("precision",
+                             anls_nnls_precision(jax.default_backend()))
+    nnls_opts_t = tuple(sorted(nnls_opts.items()))
 
     x = jnp.asarray(x)
     if use_pallas is None:

@@ -75,6 +75,34 @@ def anls_masked_solver(backend: str) -> str:
     return "cg" if backend == "tpu" else "chol"
 
 
+def anls_cg_iters(backend: str) -> int:
+    """CG step count per masked NNLS solve (0 = exact bound l + 8).
+
+    With k0 value warm starts (the previous ANLS iterate is a
+    near-solution of the new normal equations), far fewer steps reach
+    the same objective.  Measured on v5e (2048x1024 r64, 40 iters,
+    benchmarks/sweep_anls_cg.py + anls_cg_sweep.json round 4): 16 steps
+    at 913.7 it/s with final objective within 7e-5 relative of the
+    exact-bound trajectory (and within 1e-7 under 'highest'-precision
+    internals), vs 326.9 it/s for the exact bound — a 2.8x speedup at
+    objective parity.  CPU keeps the exact bound (parity-grade tests
+    live there)."""
+    return 16 if backend == "tpu" else 0
+
+
+def anls_nnls_precision(backend: str) -> str | None:
+    """Matmul precision for the NNLS duals/CG internals.
+
+    TPU's default 1-pass bf16 GEMM leaves ~1e-2 relative noise on the
+    k-sized duals, making columns cycle on noise: the round-4 sweep
+    measured the exact CG bound 1.5x FASTER at 'highest' (487 vs 327
+    it/s) because cleaner duals mean fewer exchange trips — and final
+    objectives agree to 5e-7 across all CG step counts.  The ops are
+    rank-sized, so the 3x pass cost is negligible next to the X-sized
+    products (which keep the session default)."""
+    return "highest" if backend == "tpu" else None
+
+
 def anls_device_loop(backend: str, masked_solver: str) -> bool:
     """Keep the whole ANLS loop on device unless batched Cholesky would
     sit in 3-deep nesting (case B)."""
