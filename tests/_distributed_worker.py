@@ -94,4 +94,74 @@ except AssertionError:
 
 print(f"FINAL_OBJ {res.obj_history[-1]!r}")
 print(f"RANGE {start} {stop}")
+
+# ---- round-4: the mesh_2d schedule with the PROCESS boundary crossing
+# the 'rows' axis (each process owns one mesh row of 4 devices — the
+# DCN-shaped layout of collective_model's weak-scaling scenarios)
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+from tpunmf.parallel import nmf_shardings  # noqa: E402
+from tpunmf.solvers import mur  # noqa: E402
+
+mesh2 = global_mesh(shape=(nproc, 4), axis_names=("rows", "cols"))
+row_procs = {
+    d.process_index for d in np.asarray(mesh2.devices)[pid, :]
+}
+assert row_procs == {pid}, (
+    f"process boundary must cross 'rows': row {pid} owned by {row_procs}")
+
+xg2 = jax.make_array_from_callback(
+    dense.shape, NamedSharding(mesh2, P("rows", "cols")),
+    lambda idx: dense[idx])
+res2 = mur(xg2, k, distance_type="eu", w_init=w0, h_init=h0,
+           objective="gram", min_iter=2, max_iter=5, tol1=0.0, tol2=0.0)
+assert_collective_consistency(res2.obj_history[-1])
+print(f"MESH2D_OBJ {float(res2.obj_history[-1])!r}")
+
+# cross-check the weak-scaling model's mesh_2d byte inventory against
+# the collectives this 2-process mesh actually compiles
+import importlib.util  # noqa: E402
+import re  # noqa: E402
+
+from tpunmf.parallel import gram_w, wtx_psum  # noqa: E402
+
+spec = importlib.util.spec_from_file_location(
+    "collective_model",
+    os.path.join(repo, "benchmarks", "collective_model.py"))
+cm = importlib.util.module_from_spec(spec)
+sys.modules[spec.name] = cm
+spec.loader.exec_module(cm)
+
+wg = jax.make_array_from_callback(
+    (m, k), NamedSharding(mesh2, P("rows", None)), lambda idx: w0[idx])
+coll_re = re.compile(
+    r"=\s*(?:\(?)(\w+)\[([\d,]*)\][^ ]*\s+(all-reduce)(?:-start)?\(")
+got = []
+for fn, args in ((lambda a, b: wtx_psum(mesh2, a, b), (wg, xg2)),
+                 (lambda a: gram_w(mesh2, a), (wg,))):
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    for _, dims, _ in coll_re.findall(txt):
+        got.append(int(np.prod([int(v) for v in dims.split(",") if v])))
+plan = cm.schedule_collectives("mesh_2d", m, n, k, rows=nproc, cols=4,
+                               elem=8)  # f64 run
+want = sorted(int(c.operand_bytes // 8) for c in plan
+              if c.kind == "psum" and c.fabric == "rows")
+assert sorted(got) == want, (sorted(got), want)
+print("MESH2D_BYTES_OK")
+
+# ---- round-4: sharded NTF across the process boundary
+from tpunmf.parallel import ntf_sharded  # noqa: E402
+
+rng3 = np.random.default_rng(7)
+shape3 = (16, 12, 10)
+kk3 = 3
+f_init = [rng3.random((s, kk3)) + 0.1 for s in shape3]
+x3 = np.einsum("ir,jr,kr->ijk", *f_init) + 0.01 * rng3.random(shape3)
+res3 = ntf_sharded(mesh2, x3, kk3, axis="rows", distance_type="eu",
+                   update="mur", min_iter=3, max_iter=6, tol1=0.0,
+                   tol2=0.0, factors_init=f_init)
+assert_collective_consistency(res3.obj_history[-1])
+print(f"NTF_OBJ {float(res3.obj_history[-1])!r}")
+
 print("WORKER_OK")

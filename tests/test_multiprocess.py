@@ -81,3 +81,35 @@ def test_two_process_distributed():
     incore = mur(dense, k, distance_type="eu", w_init=w0, h_init=h0,
                  objective="gram", min_iter=2, max_iter=5, tol1=0.0, tol2=0.0)
     np.testing.assert_allclose(objs[0], incore.obj_history[-1], rtol=1e-8)
+
+    def _tagged(tag):
+        vals = [
+            float(line.split()[1])
+            for rc, out, _ in outs
+            for line in out.splitlines()
+            if line.startswith(tag)
+        ]
+        assert len(vals) == 2 and vals[0] == vals[1], (tag, vals)
+        return vals[0]
+
+    # mesh_2d with the process boundary crossing 'rows' (round 4):
+    # the GSPMD solver run over 2 hosts x 4 devices must match in-core
+    np.testing.assert_allclose(_tagged("MESH2D_OBJ"),
+                               incore.obj_history[-1], rtol=1e-8)
+    # the weak-scaling model's rows-psum byte inventory was validated
+    # against the compiled collectives inside the workers
+    for rc, out, _ in outs:
+        assert "MESH2D_BYTES_OK" in out, out
+
+    # sharded NTF across the process boundary == single-process ntf
+    from tpunmf.solvers import ntf
+
+    rng3 = np.random.default_rng(7)
+    shape3 = (16, 12, 10)
+    f_init = [rng3.random((s, 3)) + 0.1 for s in shape3]
+    x3 = np.einsum("ir,jr,kr->ijk", *f_init) + 0.01 * rng3.random(shape3)
+    single = ntf(x3, 3, distance_type="eu", update="mur", min_iter=3,
+                 max_iter=6, tol1=0.0, tol2=0.0, factors_init=f_init,
+                 normalize=False)  # ntf_sharded semantics
+    np.testing.assert_allclose(_tagged("NTF_OBJ"),
+                               single.obj_history[-1], rtol=1e-8)

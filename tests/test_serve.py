@@ -306,7 +306,7 @@ def test_exact_topk_blocked_matches_lax(rng):
     with n NOT a multiple of the block to cover the -inf padding path.
     """
     import jax.numpy as jnp
-    from tpunmf.serve.topk import _exact_topk
+    from tpunmf.serve.topk import _blocked_topk, _exact_topk
 
     b, n, k, block = 4, 1000, 17, 128
     scores = rng.random((b, n)).astype(np.float32)
@@ -326,3 +326,37 @@ def test_exact_topk_blocked_matches_lax(rng):
     v3, i3 = _exact_topk(s, 130, block=128)
     v3r, i3r = jax.lax.top_k(s, 130)
     np.testing.assert_array_equal(np.asarray(i3), np.asarray(i3r))
+    # the sort-based fallback path, directly
+    vb, ib = _blocked_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(ib), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(v_ref))
+
+
+def test_exact_topk_forced_fallback_all_ties(rng):
+    """Constant scores put EVERY element on the tie boundary — the
+    verification must reject the candidate set and lax.cond must take
+    the sort-based fallback, still bit-for-bit equal to lax.top_k."""
+    import jax.numpy as jnp
+    from tpunmf.serve.topk import _exact_topk
+
+    b, n, k, block = 3, 2000, 9, 128
+    s = jnp.ones((b, n), jnp.float32) * 0.5
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+
+def test_exact_topk_exclusion_neg_inf(rng):
+    """-inf exclusions reaching the boundary force the fallback and stay
+    exact (tau == -inf => infinite tie count mismatch)."""
+    import jax.numpy as jnp
+    from tpunmf.serve.topk import _exact_topk
+
+    b, n, k, block = 2, 1500, 12, 128
+    s = jnp.asarray(rng.random((b, n)).astype(np.float32))
+    s = jnp.where(jnp.arange(n)[None, :] >= 5, -jnp.inf, s)  # only 5 finite
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))

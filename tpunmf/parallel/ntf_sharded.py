@@ -234,6 +234,8 @@ def ntf_sharded(
         update=update, max_iter=max_iter, tol1=tol1, tol2=tol2,
         lambdas=tuple(0.0 for _ in range(ndim)),
     )
-    obj_history = list(np.asarray(buf[: i + 1]))
-    return NtfResults(factors=[np.asarray(fd) for fd in fs], i=i - 1,
+    from ..solvers.common import host_array
+
+    obj_history = list(host_array(buf)[: i + 1])
+    return NtfResults(factors=[host_array(fd) for fd in fs], i=i - 1,
                       obj_history=obj_history, experiment=experiment)

@@ -37,7 +37,8 @@ from ..core.types import AdmmExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
 from ..prox import prox
-from .common import (
+from .common import (  # noqa: F401
+    verbose_precision,
     LoopCarry,
     finalize_history,
     init_carry,
@@ -270,7 +271,7 @@ def admm(
         min_iter=min_iter,
         max_iter=max_iter,
         use_pallas=use_pallas,
-        verbose=verbose,
+        verbose=verbose_precision(verbose, tol1, tol2),
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,

@@ -32,7 +32,8 @@ from ..core.types import AnlsExperiment, Results
 from ..init import nndsvd, random_init
 from ..nnls import nnls_activeset, nnls_bpp
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
-from .common import (
+from .common import (  # noqa: F401
+    verbose_precision,
     LoopCarry,
     finalize_history,
     init_carry,
@@ -268,7 +269,7 @@ def anls(
             min_iter=min_iter,
             max_iter=max_iter,
             use_pallas=use_pallas,
-            verbose=verbose,
+            verbose=verbose_precision(verbose, tol1, tol2),
         )
     else:
         # host-driven block with while_block-identical semantics: one
@@ -296,7 +297,8 @@ def anls(
                     convergence_check(obj, obj_prev, tol1, tol2)
                 )
                 if verbose:
-                    print(f"[{i}]: {obj}")
+                    prec = verbose_precision(True, tol1, tol2)
+                    print(f"[{i}]: {obj:.{prec}f}")
                 obj_prev = obj
                 i += 1
             return LoopCarry(

@@ -28,7 +28,8 @@ from ..core.types import AoAdmmExperiment, Results
 from ..init import nndsvd, random_init
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
 from ..prox import prox
-from .common import (
+from .common import (  # noqa: F401
+    verbose_precision,
     LoopCarry,
     finalize_history,
     init_carry,
@@ -421,7 +422,7 @@ def ao_admm(
         max_iter=max_iter,
         admm_iter=admm_iter,
         use_pallas=use_pallas,
-        verbose=verbose,
+        verbose=verbose_precision(verbose, tol1, tol2),
         loop_style=loop_style,
     )
     carry = run_loop(

@@ -92,6 +92,43 @@ def inner_loop(body: Callable, init_state, n_iter: int, style: str):
     return state
 
 
+def host_array(a) -> np.ndarray:
+    """``np.asarray`` that also works for multi-process global arrays.
+
+    In a ``jax.distributed`` run a GSPMD result can span devices owned
+    by other processes; fetching it directly raises.  Gather the global
+    value with ``process_allgather`` in that case — every process
+    returns the full (identical) array, matching single-process
+    semantics.
+    """
+    try:
+        return np.asarray(a)
+    except RuntimeError:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
+def verbose_precision(verbose, tol1, tol2):
+    """Encode the reference's per-iteration print precision into the
+    static ``verbose`` arg (zero block-signature churn).
+
+    The reference derives decimal places from min(tol1, tol2)
+    (nmf/mur.py:93-95): the exponent for tols < 1, else 2.  Returns
+    False when not verbose, else that precision as a truthy int that
+    while_block/host loops decode; tol <= 0 (our extension — the
+    reference crashes there) caps at 12 places.
+    """
+    if not verbose:
+        return False
+    tol = min(float(tol1), float(tol2))
+    if tol >= 1:
+        return 2
+    if tol <= 0:
+        return 12
+    return max(int(format(tol, "e").split("-")[1]), 1)
+
+
 def init_carry(obj0, max_iter: int, inner) -> LoopCarry:
     obj0 = jnp.asarray(obj0)
     obj_buf = jnp.full((max_iter + 1,), jnp.nan, dtype=obj0.dtype)
@@ -137,7 +174,15 @@ def while_block(
         obj_buf = c.obj_buf.at[c.i + 1].set(obj)
         conv = jnp.logical_and(c.i > min_iter, _converged(obj, c.obj, tol1, tol2))
         if verbose:
-            jax.debug.print("[{i}]: {o}", i=c.i, o=obj)
+            if verbose is True:
+                jax.debug.print("[{i}]: {o}", i=c.i, o=obj)
+            else:
+                # reference print parity: decimal places derived from
+                # min(tol1, tol2) (nmf/mur.py:93-95,128), encoded by the
+                # facade as an int in the static ``verbose`` arg via
+                # verbose_precision()
+                jax.debug.print("[{i}]: {o:.%df}" % int(verbose),
+                                i=c.i, o=obj)
         return LoopCarry(c.i + 1, obj, conv, obj_buf, inner)
 
     return jax.lax.while_loop(cond, body, carry)
@@ -210,5 +255,5 @@ def run_loop(
 def finalize_history(carry: LoopCarry) -> tuple[int, list]:
     """Convert carry to the reference's (i, obj_history) convention."""
     completed = int(carry.i)
-    obj_history = list(np.asarray(carry.obj_buf[: completed + 1]))
+    obj_history = list(host_array(carry.obj_buf)[: completed + 1])
     return completed - 1, obj_history

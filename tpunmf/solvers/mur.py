@@ -44,9 +44,11 @@ from ..ops.mur_fused import (
     mur_tileable,
     mur_w_update,
 )
-from .common import (
+from .common import (  # noqa: F401
+    verbose_precision,
     LoopCarry,
     finalize_history,
+    host_array,
     init_carry,
     run_loop,
     while_block,
@@ -358,7 +360,7 @@ def mur(
         fused_tile=fused_tile,
         single_pass_bm=single_pass_bm,
         kl_single_bm=kl_single_bm,
-        verbose=verbose,
+        verbose=verbose_precision(verbose, tol1, tol2),
     )
     carry = run_loop(
         run, carry, max_iter=max_iter, block_size=block_size,
@@ -370,5 +372,6 @@ def mur(
     w, h = carry.inner[0], carry.inner[1]
     i, obj_history = finalize_history(carry)
     return Results(
-        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history, experiment=experiment
+        w=host_array(w), h=host_array(h), i=i, obj_history=obj_history,
+        experiment=experiment
     )
