@@ -360,3 +360,25 @@ def test_exact_topk_exclusion_neg_inf(rng):
     v, i = _exact_topk(s, k, block=block)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+
+def test_blockmax_relayout_kernel_matches_jnp(rng):
+    """The Pallas block-max+relayout kernel (interpret mode) must equal
+    the pure-XLA producer bit-for-bit: block maxima, the (b, nb,
+    sel_block) relayout, and the finfo.min ragged-tail fill — for exact
+    multiples, ragged tails, single-tile inputs, and bf16."""
+    import jax.numpy as jnp
+    from tpunmf.ops.topk_select import blockmax_relayout, blockmax_relayout_jnp
+
+    for b, n, dtype in [(4, 16384, np.float32),      # exactly one tile
+                        (4, 40000, np.float32),      # ragged tail
+                        (3, 16384 * 2, np.float32),  # odd batch, 2 tiles
+                        (8, 20000, jnp.bfloat16)]:   # bf16 tiling rules
+        s = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32)).astype(dtype)
+        bm_k, s3_k = blockmax_relayout(s, interpret=True)
+        bm_j, s3_j = blockmax_relayout_jnp(s)
+        np.testing.assert_array_equal(np.asarray(bm_k, np.float32),
+                                      np.asarray(bm_j, np.float32))
+        np.testing.assert_array_equal(np.asarray(s3_k, np.float32),
+                                      np.asarray(s3_j, np.float32))
+        assert s3_k.shape[1] % 128 == 0 and s3_k.shape[2] == 128

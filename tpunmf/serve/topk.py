@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from tpunmf.ops.topk_select import blockmax_relayout, blockmax_relayout_jnp
+
 
 _TOPK_BLOCK = 16384
 
@@ -51,21 +53,21 @@ def _blocked_topk(scores, k: int, block: int = _TOPK_BLOCK):
 
 
 def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
-                sel_block: int = 256, sel_extra: int = 8):
+                sel_block: int = 128, sel_extra: int = 8):
     """EXACT top-k over a wide item axis at hardware speed.
 
     ``lax.top_k`` lowers to a full O(n log n) sort of every element on
-    TPU — measured 37-62 ms for (64, 1M) f32 (blocked or not), dwarfing
-    the ~0.8 ms scoring GEMM.  (``approx_max_k`` runs in ~0.6 ms but
-    measured misses up to 2 boundary elements per row in ~25% of rows
-    even at 8x oversampling — useless as an exact candidate source.)
+    TPU — measured 18.8 ms for (64, 1M) f32, dwarfing the ~0.8 ms
+    scoring GEMM.  (``approx_max_k`` was measured missing up to 2
+    boundary elements per row in ~25% of rows even at 8x oversampling —
+    useless as an exact candidate source.)
 
     Deterministic block-max selection instead:
 
-      1. per-block maxima M over blocks of ``sel_block`` (one cheap VPU
-         reduction pass).  The k-th largest block max M_(k) is a LOWER
-         bound on the k-th global value tau: the k blocks achieving
-         M_(1..k) each contain an element >= M_(k), so
+      1. per-block maxima M over contiguous blocks of ``sel_block``
+         columns.  The k-th largest block max M_(k) is a LOWER bound on
+         the k-th global value tau: the k blocks achieving M_(1..k)
+         each contain an element >= M_(k), so
          count(scores >= M_(k)) >= k;
       2. every element >= tau therefore lives in a block with
          max >= tau >= M_(k) — i.e. in one of the top-(k) blocks by
@@ -82,19 +84,22 @@ def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
          is unconditional; the fast path covers everything but
          pathological tie patterns.
 
-    Measured on v5e (64, 1M) f32 k=100: ~46 ms -> ~2 ms per call.
+    On TPU, step 1 runs as the ``ops.topk_select.blockmax_relayout``
+    Pallas kernel, which streams the scores ONCE and also emits the
+    (b, nb, sel_block) relayout so step 2's gather rides the sublane
+    axis (~0.04 ms) — XLA's reshape for the same layout is a ~3.4 ms
+    relayout at (64, 1M) and its flat-axis gather is ~18 ms.  Measured
+    end-to-end on v5e (64, 1M) f32 k=100: 2.4 ms vs 18.8 ms full sort.
     """
     b, n = scores.shape
     if n <= 2 * block or k >= block:
         return jax.lax.top_k(scores, k)
 
-    nb = -(-n // sel_block)
-    padded = scores
-    if nb * sel_block != n:
-        pad = jnp.full((b, nb * sel_block - n), -jnp.inf, scores.dtype)
-        padded = jnp.concatenate([scores, pad], axis=1)
-    s3 = padded.reshape(b, nb, sel_block)
-    bmax = jnp.max(s3, axis=-1)                          # (b, nb)
+    if jax.default_backend() == "tpu":
+        bmax, s3 = blockmax_relayout(scores, sel_block)
+    else:
+        bmax, s3 = blockmax_relayout_jnp(scores, sel_block)
+    nb = s3.shape[1]
     ksel = min(k + sel_extra, nb)
     _, bidx = jax.lax.top_k(bmax, ksel)                  # (b, ksel)
     gath = jnp.take_along_axis(s3, bidx[:, :, None], axis=1)
