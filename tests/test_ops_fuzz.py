@@ -296,3 +296,40 @@ def test_fuzz_combo_count():
              + len(HALS_SHAPES) * 2            # nsweeps
              + len(GS_SHAPES) * 2)             # unrolled
     assert count >= 50, count
+
+
+# (b, n, dtype): single-tile, exact-multiple, ragged tails just above
+# and below tile boundaries, odd batches, bf16 — the blockmax+relayout
+# kernel behind the serving exact top-k (ops/topk_select.py)
+BLOCKMAX_SHAPES = [
+    (1, 16384, "f32"),       # exactly one (128*128) tile, b=1
+    (4, 16383, "f32"),       # one short of a tile
+    (4, 16385, "f32"),       # one past a tile
+    (3, 32768, "f32"),       # 2 exact tiles, odd batch
+    (7, 50000, "f32"),       # ragged mid-tile tail
+    (8, 131072, "bf16"),     # 8 exact tiles bf16
+    (5, 99999, "bf16"),      # ragged bf16
+]
+
+
+@pytest.mark.parametrize("shape", BLOCKMAX_SHAPES,
+                         ids=[f"{b}x{n}-{d}" for b, n, d in BLOCKMAX_SHAPES])
+def test_blockmax_relayout_fuzz(shape):
+    from tpunmf.ops.topk_select import (blockmax_relayout,
+                                        blockmax_relayout_jnp)
+
+    b, n, d = shape
+    dtype = jnp.bfloat16 if d == "bf16" else jnp.float32
+    rng = np.random.default_rng(b * 100000 + n)
+    s = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32)).astype(dtype)
+    bm_k, s3_k = blockmax_relayout(s, interpret=True)
+    bm_j, s3_j = blockmax_relayout_jnp(s)
+    np.testing.assert_array_equal(np.asarray(bm_k, np.float32),
+                                  np.asarray(bm_j, np.float32))
+    np.testing.assert_array_equal(np.asarray(s3_k, np.float32),
+                                  np.asarray(s3_j, np.float32))
+    # tail fill is finfo.min, never -inf (0 * -inf NaN-poisons consumers)
+    pad = s3_k.shape[1] * s3_k.shape[2] - n
+    if pad:
+        tail = np.asarray(s3_k, np.float32).reshape(b, -1)[:, n:]
+        assert np.all(tail == float(jnp.finfo(dtype).min))
