@@ -90,18 +90,24 @@ class Collective:
         return self.steps * alpha + self.bytes_sent / beta
 
     def exposed_time(self, alpha: float, beta: float,
-                     t_compute_iter: float) -> float:
+                     t_compute_overlappable: float) -> float:
         """Time this collective adds to the iteration.
 
         Non-overlappable collectives expose their full alpha-beta time.
         An overlappable ring rotation exposes only the per-step excess
         over the per-panel compute slice it runs under: with d panels,
-        each of the (d-1) transfers overlaps ~t_compute/d of GEMM work.
+        each of the (d-1) transfers overlaps t_compute_overlappable/d of
+        GEMM work.  ``t_compute_overlappable`` must be ONLY the compute
+        the rotation actually runs under (for the ring schedule, the
+        W-half X@H^T panel loop — collectives.py rotates H during that
+        loop only; the H-half runs after rotation is complete), NOT the
+        full iteration — crediting the full iteration would overstate
+        hiding by up to 2x when t_compW/d < t_step <= t_comp/d.
         """
         if not self.overlappable or self.steps == 0:
             return self.time(alpha, beta)
         per_step = alpha + (self.bytes_sent / max(self.steps, 1)) / beta
-        compute_slice = t_compute_iter / self.d
+        compute_slice = t_compute_overlappable / self.d
         return self.steps * max(0.0, per_step - compute_slice)
 
 
@@ -249,6 +255,11 @@ class Scenario:
                                     elem=self.coll_elem)
         t_exposed = t_serial = 0.0
         bytes_acc = {"ici": 0.0, "dcn": 0.0, "overlappable": 0.0}
+        # the ring rotation only runs under the W-half X@H^T panel loop
+        # (the H-half starts after rotation completes), and the X-sized
+        # work splits evenly between the two halves — so only half the
+        # iteration's compute is available to hide the rotation.
+        t_comp_overlappable = 0.5 * t_comp
         for c in plan:
             if c.fabric == "rows" and self.row_fabric == "dcn":
                 # multislice: the host NIC is shared by the host's chips
@@ -256,7 +267,7 @@ class Scenario:
             else:
                 alpha, beta = L.ici_alpha_us * 1e-6, L.ici_gbps * GB
             t_serial += c.time(alpha, beta)
-            t_exposed += c.exposed_time(alpha, beta, t_comp)
+            t_exposed += c.exposed_time(alpha, beta, t_comp_overlappable)
             if c.overlappable:
                 key = "overlappable"
             elif c.fabric == "rows" and self.row_fabric == "dcn":

@@ -32,11 +32,17 @@ from tpunmf.init import nndsvd  # noqa: E402
 from tpunmf.solvers import anls  # noqa: E402
 
 
-def run_case(x, w0, h0, k, cg_iters, iters):
+def run_case(x, w0, h0, k, cg_iters, iters, precision):
+    # precision must be EXPLICIT per arm: anls() setdefaults the TPU
+    # NNLS-internals precision to 'highest', which would silently turn
+    # the 'default' arm into a highest-internals run and destroy the
+    # very comparison this sweep exists for.
     kw = dict(
         distance_type="eu", tol1=1e-12, tol2=1e-12,
         w_init=w0, h_init=h0,
-        masked_solver="cg", nnls_opts={"cg_iters": cg_iters},
+        masked_solver="cg",
+        nnls_opts={"cg_iters": cg_iters,
+                   "precision": None if precision == "default" else precision},
     )
 
     def wall(n):

@@ -152,11 +152,19 @@ def test_overlap_exposure_bounds():
 
 def test_single_slice_beats_multislice():
     """The primary deployment (rows on ICI) must dominate DCN rows, and
-    the configs [3]/[4] single-slice estimates clear the >=80% target."""
+    the configs [3]/[4] single-slice estimates clear the >=80% target.
+
+    LinkParams are PINNED (not LinkParams.measured()): the measured
+    default reads the mutable bw_probe_best.json ratchet, so a faster
+    future probe would shrink t_comp and silently flip this assertion
+    with no code change.  The pinned values are the 2026-08 v5e probe."""
+    links = cm.LinkParams(hbm_gbps=798.4, mxu_tflops=217.4, ici_gbps=180.0,
+                          ici_alpha_us=1.0, dcn_gbps=25.0, dcn_alpha_us=10.0,
+                          source="pinned (2026-08 v5e probe)")
     for hosts in (2, 4, 8):
         for cfg in ("config3", "config4"):
             kw = dict(schedule="ring", hosts=hosts, chips_per_host=8,
-                      coll_elem=2, densify_factor=4.0)
+                      coll_elem=2, densify_factor=4.0, links=links)
             if cfg == "config3":
                 kw.update(m=25_000 * hosts, n=20_000, k=128,
                           nnz=50_000_000 * hosts, inner_compute_mult=1.2)

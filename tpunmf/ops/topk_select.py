@@ -34,23 +34,30 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
+# row-tile cap: VMEM windows are 2 * (rb * bn + rb * bn) elements
+# (double-buffered in-strip + relayout-out-strip), so the batch axis is
+# tiled at 64 rows to keep the f32 budget at 16 MB regardless of b.
+# 64 is a multiple of both the f32 (8) and bf16 (16) sublane tile rules.
+_ROW_TILE = 64
+
+
 def _bmax_kernel(x_ref, bmax_ref, s3_ref, *, n, bn, sel_block, nt):
-    j = pl.program_id(0)
-    b = x_ref.shape[0]
+    j = pl.program_id(1)
+    rb = x_ref.shape[0]
     lo = jnp.finfo(x_ref.dtype).min
 
     @pl.when(j == nt - 1)
     def _():
         # ragged tail: lanes past n are out-of-bounds garbage reads
-        gcol = j * bn + jax.lax.broadcasted_iota(jnp.int32, (b, bn), 1)
+        gcol = j * bn + jax.lax.broadcasted_iota(jnp.int32, (rb, bn), 1)
         x3 = jnp.where(gcol < n, x_ref[:], lo).reshape(
-            b, bn // sel_block, sel_block)
+            rb, bn // sel_block, sel_block)
         s3_ref[:] = x3
         bmax_ref[:] = jnp.max(x3, -1)
 
     @pl.when(j != nt - 1)
     def _():
-        x3 = x_ref[:].reshape(b, bn // sel_block, sel_block)
+        x3 = x_ref[:].reshape(rb, bn // sel_block, sel_block)
         s3_ref[:] = x3
         bmax_ref[:] = jnp.max(x3, -1)
 
@@ -62,6 +69,10 @@ def blockmax_relayout(scores, sel_block: int = 128, interpret: bool = False):
     nbp = ceil(n / (128*sel_block)) * 128 blocks; tail blocks beyond the
     data are filled with ``finfo(dtype).min``.  ``sel_block`` must be a
     multiple of 128 (it becomes the minor tile dim of the relayout).
+    Rows are tiled at 64 per grid step, so VMEM residency is independent
+    of the batch size (a ragged final row tile is legal: out-of-bounds
+    input rows read garbage that flows only to out-of-bounds output
+    rows, whose writes Mosaic masks).
     """
     b, n = scores.shape
     if sel_block % 128:
@@ -69,22 +80,24 @@ def blockmax_relayout(scores, sel_block: int = 128, interpret: bool = False):
     bn = _LANES * sel_block
     nt = -(-n // bn)
     nbp = nt * _LANES
+    rb = b if b <= _ROW_TILE else _ROW_TILE
+    nr = -(-b // rb)
     kern = partial(_bmax_kernel, n=n, bn=bn, sel_block=sel_block, nt=nt)
     return pl.pallas_call(
         kern,
-        grid=(nt,),
-        in_specs=[pl.BlockSpec((b, bn), lambda j: (0, j))],
+        grid=(nr, nt),
+        in_specs=[pl.BlockSpec((rb, bn), lambda i, j: (i, j))],
         out_specs=[
-            pl.BlockSpec((b, _LANES), lambda j: (0, j)),
-            pl.BlockSpec((b, _LANES, sel_block), lambda j: (0, j, 0)),
+            pl.BlockSpec((rb, _LANES), lambda i, j: (i, j)),
+            pl.BlockSpec((rb, _LANES, sel_block), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, nbp), scores.dtype),
             jax.ShapeDtypeStruct((b, nbp, sel_block), scores.dtype),
         ],
         # in-strip + relayout-out-strip double buffered = 4 windows of
-        # 4 MB (f32, b=64) plus the maxima tiles: past the default 16 MB
-        # scoped budget by the maxima buffers alone, so state it.
+        # 4 MB (f32, rb=64) plus the maxima tiles: past the default
+        # 16 MB scoped budget by the maxima buffers alone, so state it.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

@@ -333,6 +333,7 @@ def mur_sharded(
 
     from ..core.types import MurExperiment, Results
     from ..init import nndsvd as _nndsvd, random_init
+    from ..solvers.common import host_array
 
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
@@ -391,6 +392,6 @@ def mur_sharded(
     completed = int(i)
     obj_history = list(np.asarray(buf[: completed + 1]))
     return Results(
-        w=np.asarray(w), h=np.asarray(h), i=completed - 1,
+        w=host_array(w), h=host_array(h), i=completed - 1,
         obj_history=obj_history, experiment=experiment,
     )

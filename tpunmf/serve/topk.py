@@ -117,8 +117,17 @@ def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
     eq_global = jnp.sum(scores == tau, axis=1)
     gt_cand = jnp.sum(vals_sorted > tau, axis=1)
     eq_cand = jnp.sum(vals_sorted == tau, axis=1)
-    ok = jnp.all((gt_global == gt_cand) & (eq_global == eq_cand))
+    # NaNs compare false on BOTH sides of the count check, so they could
+    # slip through verification while ranking differently (lax.top_k's
+    # total order puts NaN FIRST; the candidate tie-sort pushes it last)
+    # — any NaN forces the fallback, whose lax.top_k semantics match.
+    any_nan = jnp.any(jnp.isnan(scores))
+    ok = jnp.all((gt_global == gt_cand) & (eq_global == eq_cand)) & ~any_nan
 
+    # NOTE: the fallback is batch-global (one pathological row pays the
+    # full sort for the whole batch) — under jit a per-row select would
+    # have to COMPUTE the sort for every batch unconditionally, which
+    # costs more than the rare all-rows fallback.
     return jax.lax.cond(
         ok,
         lambda s: (vals_sorted[:, :k], idx_sorted[:, :k]),

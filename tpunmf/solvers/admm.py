@@ -39,6 +39,7 @@ from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
 from ..prox import prox
 from .common import (  # noqa: F401
     verbose_precision,
+    host_array,
     LoopCarry,
     finalize_history,
     init_carry,
@@ -283,6 +284,6 @@ def admm(
     w, h = carry.inner[0], carry.inner[1]
     i, obj_history = finalize_history(carry)
     return Results(
-        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        w=host_array(w), h=host_array(h), i=i, obj_history=obj_history,
         experiment=experiment,
     )

@@ -34,6 +34,7 @@ from ..nnls import nnls_activeset, nnls_bpp
 from ..ops.fused import eu_residual_obj, kl_ratio_and_obj
 from .common import (  # noqa: F401
     verbose_precision,
+    host_array,
     LoopCarry,
     finalize_history,
     init_carry,
@@ -323,6 +324,6 @@ def anls(
     w, h = carry.inner
     i, obj_history = finalize_history(carry)
     return Results(
-        w=np.asarray(w), h=np.asarray(h), i=i, obj_history=obj_history,
+        w=host_array(w), h=host_array(h), i=i, obj_history=obj_history,
         experiment=experiment,
     )

@@ -45,7 +45,8 @@ from ..ops.hals_sweep import (
     hals_iter_tileable,
     hals_iteration_eu,
 )
-from .common import LoopCarry, finalize_history, init_carry, run_loop, while_block
+from .common import (LoopCarry, finalize_history, host_array,
+                     init_carry, run_loop, while_block)
 
 _EPS = 1e-16
 
@@ -259,5 +260,5 @@ def hals(
 
     w, h = carry.inner
     i, obj_history = finalize_history(carry)
-    return Results(w=np.asarray(w), h=np.asarray(h), i=i,
+    return Results(w=host_array(w), h=host_array(h), i=i,
                    obj_history=obj_history, experiment=experiment)
