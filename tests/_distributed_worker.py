@@ -150,6 +150,18 @@ want = sorted(int(c.operand_bytes // 8) for c in plan
 assert sorted(got) == want, (sorted(got), want)
 print("MESH2D_BYTES_OK")
 
+# ---- round-4: a non-MUR solver's Results tail across processes — the
+# factors span non-addressable devices, so Results construction must go
+# through host_array (np.asarray raised here before the round-4 fix)
+from tpunmf.solvers import anls  # noqa: E402
+
+res_a = anls(xg2, k, w_init=w0, h_init=h0, min_iter=2, max_iter=4,
+             tol1=0.0, tol2=0.0)
+assert isinstance(res_a.w, np.ndarray) and res_a.w.shape == (m, k)
+assert isinstance(res_a.h, np.ndarray) and res_a.h.shape == (k, n)
+assert_collective_consistency(res_a.obj_history[-1])
+print(f"ANLS_OBJ {float(res_a.obj_history[-1])!r}")
+
 # ---- round-4: sharded NTF across the process boundary
 from tpunmf.parallel import ntf_sharded  # noqa: E402
 

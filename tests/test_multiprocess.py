@@ -101,6 +101,15 @@ def test_two_process_distributed():
     for rc, out, _ in outs:
         assert "MESH2D_BYTES_OK" in out, out
 
+    # a non-MUR solver's host_array Results tail (round 4): anls over
+    # the 2-process mesh must finish AND match the in-core run
+    from tpunmf.solvers import anls as _anls
+
+    anls_single = _anls(dense, k, w_init=w0, h_init=h0,
+                        min_iter=2, max_iter=4, tol1=0.0, tol2=0.0)
+    np.testing.assert_allclose(_tagged("ANLS_OBJ"),
+                               anls_single.obj_history[-1], rtol=1e-8)
+
     # sharded NTF across the process boundary == single-process ntf
     from tpunmf.solvers import ntf
 
