@@ -469,7 +469,7 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
 
 
 def bench_mur_kl(m=8192, n=8192, k=128, iters=30, data_dtype=jnp.bfloat16,
-                 bw_measured=None):
+                 bw_measured=None, objective_every=1):
     """KL-MUR at headline scale with the same roofline accounting as EU
     (VERDICT r3 weak item 4).  At n=8192 the single-pass KL kernel does
     not engage (needs a >=64-row strip resident; n <= ~4k at r128 —
@@ -504,7 +504,8 @@ def bench_mur_kl(m=8192, n=8192, k=128, iters=30, data_dtype=jnp.bfloat16,
             distance_type="kl", min_iter=long_iters + 1,
             max_iter=long_iters + 1, objective="lagged",
             use_pallas=use_pallas, fused_tile=fused_tile,
-            single_pass_bm=None, kl_single_bm=None, verbose=False,
+            single_pass_bm=None, kl_single_bm=None,
+            objective_every=objective_every, verbose=False,
         )
 
     obj0 = jnp.asarray(0.0, dtype=jnp.float32)
@@ -733,6 +734,15 @@ def main():
     except Exception as e:
         rkl = {"error": str(e)[:200]}
     try:
+        # opt-in objective cadence: the lagged objective's log is the
+        # measured VPU bottleneck of the W pass; computing it every 8th
+        # iteration recovers ~30% (942 -> 1225 it/s, r4)
+        rkl8 = bench_mur_kl(data_dtype=jnp.bfloat16,
+                            bw_measured=tracker.bw_ceiling,
+                            objective_every=8)
+    except Exception as e:
+        rkl8 = {"error": str(e)[:200]}
+    try:
         serving = bench_serving()
     except Exception:
         # one retry after a pause: the tunnel drops the compile RPC in
@@ -774,6 +784,11 @@ def main():
                     "393 GB/s) — benchmarks/probe_kl.py attribution, "
                     "composite matches this headline",
         }
+        if "error" not in rkl8:
+            kl_extra["iters_per_sec_objective_every8"] = round(
+                rkl8["iters_per_sec"], 2)
+        else:
+            kl_extra["iters_per_sec_objective_every8"] = rkl8
     else:
         kl_extra = rkl
     mxu_ceiling = tracker.mxu_ceiling

@@ -47,6 +47,19 @@ if HAS_REF:
     sys.path.insert(0, REFERENCE)
 
 
+# --max-iter-cap: full-scale runs (scale=1.0) are CPU-bound on the
+# reference's numpy side; capping the iteration budget keeps parity
+# meaningful (iterate-for-iterate at a FIXED budget) while tractable.
+MAX_ITER_CAP = None
+
+
+def capped(kw):
+    if MAX_ITER_CAP is not None:
+        kw = dict(kw, max_iter=min(kw["max_iter"], MAX_ITER_CAP),
+                  min_iter=min(kw["min_iter"], MAX_ITER_CAP))
+    return kw
+
+
 def rel_err(x, w, h) -> float:
     return float(np.linalg.norm(x - w @ h) / np.linalg.norm(x))
 
@@ -62,8 +75,8 @@ def config0_mur_eu(scale):
 
     m, n, k = max(64, int(2000 * scale)), max(48, int(1000 * scale)), 20
     x = lowrank_dense(m, n, k, seed=0, dtype=np.float64)
-    kw = dict(distance_type="eu", min_iter=20, max_iter=500, tol1=1e-6,
-              tol2=1e-6, nndsvd_init=(True, "zero"))
+    kw = capped(dict(distance_type="eu", min_iter=20, max_iter=500, tol1=1e-6,
+                     tol2=1e-6, nndsvd_init=(True, "zero")))
     t0 = time.perf_counter()
     ours = mur(x, k, **kw)
     t_ours = time.perf_counter() - t0
@@ -103,8 +116,8 @@ def config1_mur_kl(scale, newsgroups_root=None):
         k = min(k, min(m, n) // 2)
         x = np.asarray(tfidf_like(m, n, n_topics=k, seed=1),
                        dtype=np.float64)
-    kw = dict(distance_type="kl", min_iter=20, max_iter=300, tol1=1e-6,
-              tol2=1e-6, nndsvd_init=(True, "zero"))
+    kw = capped(dict(distance_type="kl", min_iter=20, max_iter=300, tol1=1e-6,
+                     tol2=1e-6, nndsvd_init=(True, "zero")))
     ours = mur(x, k, **kw)
     out = {"config": "MUR-KL tfidf", "shape": [m, n, k], "i": ours.i,
            "final_kl": float(ours.obj_history[-1])}
@@ -140,8 +153,8 @@ def config2_anls_recall(scale, movielens_path=None):
         k = min(k, min(m, n) // 2)
         x = np.asarray(movielens_like(m, n, density=0.2, seed=2),
                        dtype=np.float64)
-    kw = dict(min_iter=5, max_iter=40, tol1=1e-6, tol2=1e-6,
-              nndsvd_init=(True, "zero"))
+    kw = capped(dict(min_iter=5, max_iter=40, tol1=1e-6, tol2=1e-6,
+                     nndsvd_init=(True, "zero")))
     ours = anls(x, k, use_fcnnls=True, **kw)
     out = {"config": "ANLS recommender", "shape": [m, n, k], "i": ours.i,
            "rel_err": rel_err(x, ours.w, ours.h)}
@@ -253,10 +266,16 @@ def main():
     ap.add_argument("--newsgroups-root", default=None,
                     help="path to a 20news-bydate-style directory tree: "
                          "config1 runs on the REAL archive")
+    ap.add_argument("--max-iter-cap", type=int, default=None,
+                    help="cap min/max_iter for full-scale runs (fixed-budget "
+                         "iterate parity stays meaningful)")
     ap.add_argument("--movielens-path", default=None,
                     help="path to ratings.dat/u.data/ratings.csv: "
                          "config2 runs on the REAL archive")
     args = ap.parse_args()
+
+    global MAX_ITER_CAP
+    MAX_ITER_CAP = args.max_iter_cap
 
     import functools
 
@@ -267,7 +286,8 @@ def main():
                                  movielens_path=args.movielens_path),
                config3_admm_sparse, config4_ao_admm_sharded]
     wanted = {int(c) for c in args.configs.split(",")}
-    report = {"scale": args.scale, "reference_available": HAS_REF, "configs": []}
+    report = {"scale": args.scale, "reference_available": HAS_REF,
+              "max_iter_cap": MAX_ITER_CAP, "configs": []}
     for idx, fn in enumerate(runners):
         if idx not in wanted:
             continue

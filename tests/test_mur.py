@@ -148,3 +148,47 @@ def test_random_init_parity_via_replayed_rng(lowrank_data):
     np.testing.assert_allclose(
         np.array(ours.obj_history), np.array(ref.obj_history), rtol=1e-9
     )
+
+
+@pytest.mark.parametrize("distance_type", ["eu", "kl"])
+def test_objective_every_cadence(lowrank_data, distance_type):
+    """objective_every=N: factors bitwise-identical to every-iteration
+    recording, NaN at skipped slots, real entries match the dense trace
+    exactly, and the final entry is always real."""
+    kw = dict(distance_type=distance_type, min_iter=4, max_iter=11,
+              tol1=1e-12, tol2=1e-12, nndsvd_init=(True, "zero"))
+    dense = mur(lowrank_data, 5, **kw)
+    every3 = mur(lowrank_data, 5, objective_every=3, **kw)
+
+    assert every3.i == dense.i
+    assert np.array_equal(np.array(dense.w), np.array(every3.w))
+    assert np.array_equal(np.array(dense.h), np.array(every3.h))
+    hd, h3 = np.array(dense.obj_history), np.array(every3.obj_history)
+    assert len(hd) == len(h3)
+    real = ~np.isnan(h3)
+    # init slot, every 3rd iteration, and the final slot are real
+    expect = np.zeros(len(h3), bool)
+    expect[0] = True
+    expect[3::3] = True
+    expect[-1] = True
+    assert np.array_equal(real, expect)
+    np.testing.assert_array_equal(h3[real], hd[real])
+
+
+def test_objective_every_convergence_across_gap(lowrank_data):
+    """The convergence check compares across the cadence gap: a
+    loose-tol2 run with objective_every=4 still stops early, at a
+    refresh iteration, with a real final objective."""
+    kw = dict(distance_type="eu", min_iter=5, max_iter=400,
+              tol1=1e-12, tol2=1e-2, nndsvd_init=(True, "zero"))
+    dense = mur(lowrank_data, 5, **kw)
+    cad = mur(lowrank_data, 5, objective_every=4, **kw)
+    assert dense.i < 399  # the dense run stops early at this tol2
+    assert cad.i < 399
+    # stops on a refresh iteration: obj_history[i+1] is real
+    assert not np.isnan(np.array(cad.obj_history)[-1])
+
+
+def test_objective_every_validation(lowrank_data):
+    with pytest.raises(ValueError):
+        mur(lowrank_data, 5, objective_every=0, max_iter=3, min_iter=1)

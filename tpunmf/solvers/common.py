@@ -161,6 +161,14 @@ def while_block(
     objective against the previous one with (tol1, tol2) per
     nmf/utils.py:4-15, and the flag stops the loop *after* the iteration
     that triggered it.
+
+    Objective-skipping steps (opt-in solver cadence knobs such as MUR's
+    ``objective_every``) return NaN for skipped iterations: a NaN
+    objective is recorded in the trace as-is but neither enters the
+    convergence comparison nor displaces the held last real objective —
+    the next real value is compared against the previous real one.  (A
+    genuinely diverging run whose objective *becomes* NaN behaves as
+    before: the check never fires and the loop runs out its budget.)
     """
     stop_i = jnp.asarray(stop_i, dtype=jnp.int32)
 
@@ -172,7 +180,12 @@ def while_block(
     def body(c: LoopCarry):
         inner, obj = step_fn(c.inner, c.i)
         obj_buf = c.obj_buf.at[c.i + 1].set(obj)
-        conv = jnp.logical_and(c.i > min_iter, _converged(obj, c.obj, tol1, tol2))
+        real = jnp.logical_not(jnp.isnan(obj))
+        conv = jnp.logical_and(
+            real,
+            jnp.logical_and(c.i > min_iter, _converged(obj, c.obj, tol1, tol2)),
+        )
+        obj = jnp.where(real, obj, c.obj)
         if verbose:
             if verbose is True:
                 jax.debug.print("[{i}]: {o}", i=c.i, o=obj)

@@ -68,6 +68,7 @@ _EPS = 1e-9
         "fused_tile",
         "single_pass_bm",
         "kl_single_bm",
+        "objective_every",
         "verbose",
     ),
 )
@@ -89,8 +90,34 @@ def _mur_block(
     fused_tile,
     single_pass_bm=None,
     kl_single_bm=None,
+    objective_every: int = 1,
     verbose: bool,
 ):
+    # Objective cadence (opt-in, objective_every > 1): the objective is
+    # computed/recorded only on refresh iterations — every N-th, plus the
+    # last one before the loop's stop bound so the final entry is always
+    # real.  Skipped iterations record NaN, which while_block treats as
+    # "no observation" (the convergence comparison holds the last real
+    # value).  For KL this removes the elementwise log pass from skipped
+    # iterations — the measured VPU bottleneck of the 2-pass KL headline
+    # (docs/PERF.md, KL roofline attribution).
+    obj_dtype = carry.obj.dtype
+    _nan = jnp.full((), jnp.nan, dtype=obj_dtype)
+    _limit = jnp.minimum(jnp.asarray(stop_i, jnp.int32), max_iter)
+
+    def _refresh(i):
+        return jnp.logical_or((i + 1) % objective_every == 0, i + 1 >= _limit)
+
+    def cadence_obj(i, fn):
+        """fn() -> scalar objective; skipped (-> NaN) off-cadence."""
+        if objective_every == 1:
+            return fn().astype(obj_dtype)
+        return jax.lax.cond(
+            _refresh(i),
+            lambda _: fn().astype(obj_dtype),
+            lambda _: _nan,
+            operand=None,
+        )
     def step_eu_single(inner, i):
         """Whole iteration with ONE pass over x (ops/mur_fused.py
         mur_iteration_eu): the W-numerator, in-register W update,
@@ -107,9 +134,11 @@ def _mur_block(
         h_new = h * wtx / (gram_w @ h + lambda_h * h + _EPS)
         with jax.named_scope("objective"):
             if objective == "gram":
-                obj = eu_objective_gram(xsq, wtx, gram_w, h_new)
+                obj = cadence_obj(i, lambda: eu_objective_gram(
+                    xsq, wtx, gram_w, h_new))
             else:
-                obj = eu_residual_obj(x, w, h_new, use_pallas=True)
+                obj = cadence_obj(i, lambda: eu_residual_obj(
+                    x, w, h_new, use_pallas=True))
         return (w, h_new), obj
 
     def step_kl_single(inner, i):
@@ -130,8 +159,11 @@ def _mur_block(
         d = jnp.sum(w, axis=0)[:, None]
         h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
         if objective == "lagged":
-            return (w, h), obj_prev
-        obj = kl_obj(x, w, h, use_pallas=True)
+            # the kernel emits the lagged objective for free; the cadence
+            # only masks the RECORDING so trace/convergence semantics are
+            # path-independent
+            return (w, h), cadence_obj(i, lambda: obj_prev)
+        obj = cadence_obj(i, lambda: kl_obj(x, w, h, use_pallas=True))
         return (w, h), obj
 
     def step_eu_fused(inner, i):
@@ -145,9 +177,11 @@ def _mur_block(
                                       bm=bm, bn=bn)
         with jax.named_scope("objective"):
             if objective == "gram":
-                obj = eu_objective_gram(xsq, wtx, w.T @ w, h_new)
+                obj = cadence_obj(i, lambda: eu_objective_gram(
+                    xsq, wtx, w.T @ w, h_new))
             else:
-                obj = eu_residual_obj(x, w, h_new, use_pallas=True)
+                obj = cadence_obj(i, lambda: eu_residual_obj(
+                    x, w, h_new, use_pallas=True))
         return (w, h_new), obj
 
     def step_kl_fused(inner, i):
@@ -161,16 +195,36 @@ def _mur_block(
         w, h = inner
         bm, bn = fused_tile
         if objective == "lagged":
-            w, obj_prev = mur_w_update(x, w, h, distance_type="kl",
-                                       lam=lambda_w, bm=bm, bn=bn,
-                                       with_lagged_obj=True)
+            if objective_every == 1:
+                w, obj_prev = mur_w_update(x, w, h, distance_type="kl",
+                                           lam=lambda_w, bm=bm, bn=bn,
+                                           with_lagged_obj=True)
+            else:
+                # off-cadence W passes run the obj-free kernel — this
+                # drops the elementwise log (the measured VPU bottleneck
+                # of this pass: 1511 vs 2930 passes/s at headline shape,
+                # docs/PERF.md) from skipped iterations
+                def _w_with_obj(wh):
+                    wn, o = mur_w_update(
+                        x, wh[0], wh[1], distance_type="kl", lam=lambda_w,
+                        bm=bm, bn=bn, with_lagged_obj=True)
+                    return wn, o.astype(obj_dtype)
+
+                def _w_skip_obj(wh):
+                    wn = mur_w_update(
+                        x, wh[0], wh[1], distance_type="kl", lam=lambda_w,
+                        bm=bm, bn=bn)
+                    return wn, _nan
+
+                w, obj_prev = jax.lax.cond(
+                    _refresh(i), _w_with_obj, _w_skip_obj, (w, h))
             h, _ = mur_h_update(x, w, h, distance_type="kl", lam=lambda_h,
                                 bm=bm, bn=bn)
             return (w, h), obj_prev
         w = mur_w_update(x, w, h, distance_type="kl", lam=lambda_w, bm=bm, bn=bn)
         h, _ = mur_h_update(x, w, h, distance_type="kl", lam=lambda_h,
                             bm=bm, bn=bn)
-        obj = kl_obj(x, w, h, use_pallas=True)
+        obj = cadence_obj(i, lambda: kl_obj(x, w, h, use_pallas=True))
         return (w, h), obj
 
     def step_eu(inner, i):
@@ -181,9 +235,10 @@ def _mur_block(
         gram_w = w.T @ w
         h = h * wtx / (gram_w @ h + lambda_h * h + _EPS)
         if objective == "gram":
-            obj = eu_objective_gram(xsq, wtx, gram_w, h)
+            obj = cadence_obj(i, lambda: eu_objective_gram(xsq, wtx, gram_w, h))
         else:
-            obj = eu_residual_obj(x, w, h, use_pallas=use_pallas)
+            obj = cadence_obj(i, lambda: eu_residual_obj(
+                x, w, h, use_pallas=use_pallas))
         return (w, h), obj
 
     def step_kl(inner, i):
@@ -195,7 +250,21 @@ def _mur_block(
         c = h * (w.T @ r2)
         d = jnp.sum(w, axis=0)[:, None]  # == column of w.T @ ones_like(x)
         h = 2.0 * c / (d + jnp.sqrt(d * d + 4.0 * lambda_h * c))
-        r, obj = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
+        if objective_every == 1:
+            r, obj = kl_ratio_and_obj(x, w, h, eps=_EPS, use_pallas=use_pallas)
+        else:
+            # off-cadence trailing passes skip the log term of the
+            # objective (the ratio itself is still needed by the next
+            # W-update)
+            r, obj = jax.lax.cond(
+                _refresh(i),
+                lambda wh: (lambda ro: (ro[0], ro[1].astype(obj_dtype)))(
+                    kl_ratio_and_obj(x, wh[0], wh[1], eps=_EPS,
+                                     use_pallas=use_pallas)),
+                lambda wh: (kl_ratio(x, wh[0], wh[1], eps=_EPS,
+                                     use_pallas=use_pallas), _nan),
+                (w, h),
+            )
         return (w, h, r), obj
 
     if distance_type == "eu" and single_pass_bm is not None:
@@ -236,6 +305,7 @@ def mur(
     h_init=None,
     key=None,
     objective: str = "exact",
+    objective_every: int = 1,
     data_dtype=None,
     use_pallas: Optional[bool] = None,
     verbose: bool = False,
@@ -252,6 +322,13 @@ def mur(
       key: jax PRNG key for random init (reference used global numpy RNG).
       objective: 'exact' (elementwise residual; robust at f32) or 'gram'
         (Gram-trick EU objective — no extra m*n pass, use for speed).
+      objective_every: compute/record the objective only every N-th
+        iteration (plus the final one); skipped iterations record NaN in
+        obj_history and the convergence check compares across the gap
+        (so tol2 applies per CHECK, i.e. per N iterations — an opt-in
+        semantic relaxation).  For KL this removes the objective's
+        elementwise log (the measured VPU bottleneck of the 2-pass KL
+        path) from skipped iterations.  Default 1 = reference semantics.
       data_dtype: optional storage dtype for x (e.g. jnp.bfloat16 — halves
         HBM traffic per pass; factors stay float32).
       use_pallas: force fused Pallas kernels on/off (default: auto on TPU).
@@ -259,6 +336,9 @@ def mur(
     """
     if distance_type not in ("eu", "kl"):
         raise KeyError("Unknown distance type.")
+    objective_every = int(objective_every)
+    if objective_every < 1:
+        raise ValueError("objective_every must be >= 1")
 
     x = jnp.asarray(x)
     if use_pallas is None:
@@ -360,6 +440,7 @@ def mur(
         fused_tile=fused_tile,
         single_pass_bm=single_pass_bm,
         kl_single_bm=kl_single_bm,
+        objective_every=objective_every,
         verbose=verbose_precision(verbose, tol1, tol2),
     )
     carry = run_loop(
