@@ -113,6 +113,23 @@ def test_blocked_execution_matches_single_dispatch(lowrank_data):
     np.testing.assert_allclose(a.w, b.w)
 
 
+def test_blocked_objective_every_is_block_size_invariant(lowrank_data):
+    """With objective_every > 1, blocked execution must not force extra
+    real objectives at block boundaries: the trace (including which slots
+    are NaN), the stopping iteration, and the factors are identical to a
+    single-dispatch run.  Block boundaries falling off-cadence (13 % 3
+    != 0) make this a real exercise of the refresh gate."""
+    kw = dict(distance_type="eu", min_iter=4, max_iter=31, tol1=1e-12,
+              tol2=1e-12, nndsvd_init=(True, "zero"), objective_every=3)
+    a = mur(lowrank_data, 5, **kw)
+    b = mur(lowrank_data, 5, block_size=13, **kw)
+    assert a.i == b.i
+    ha, hb = np.array(a.obj_history), np.array(b.obj_history)
+    assert np.array_equal(np.isnan(ha), np.isnan(hb))
+    np.testing.assert_array_equal(ha[~np.isnan(ha)], hb[~np.isnan(hb)])
+    np.testing.assert_array_equal(np.array(a.w), np.array(b.w))
+
+
 def test_bf16_data_mode(lowrank_data, rng):
     """bf16 X storage with f32 factors: converges and tracks the f32 run at
     data-precision tolerance."""
@@ -160,6 +177,12 @@ def test_objective_every_cadence(lowrank_data, distance_type):
     dense = mur(lowrank_data, 5, **kw)
     every3 = mur(lowrank_data, 5, objective_every=3, **kw)
 
+    # Precondition for the fixed real-slot mask below: the tight tols
+    # must not trigger early convergence — the run uses its full budget
+    # (i == max_iter - 1).  If the fixture ever converges within the
+    # budget, the run stops at a refresh iteration and the mask
+    # assertion would fail confusingly; fail loudly here instead.
+    assert dense.i == 10
     assert every3.i == dense.i
     assert np.array_equal(np.array(dense.w), np.array(every3.w))
     assert np.array_equal(np.array(dense.h), np.array(every3.h))

@@ -166,9 +166,15 @@ def while_block(
     ``objective_every``) return NaN for skipped iterations: a NaN
     objective is recorded in the trace as-is but neither enters the
     convergence comparison nor displaces the held last real objective —
-    the next real value is compared against the previous real one.  (A
+    the next real value is compared against the previous real one.  A
     genuinely diverging run whose objective *becomes* NaN behaves as
-    before: the check never fires and the loop runs out its budget.)
+    before only while it stays NaN (the check never fires and the loop
+    runs out its budget); if it later recovers to a finite value, that
+    value is compared against the held pre-NaN objective, which can
+    fire the tol2 branch one observation earlier than the pre-NaN-hold
+    behavior.  Consequently a NaN entry in ``obj_history`` means
+    "skipped or diverged at that iteration" — disambiguate by whether
+    the run used ``objective_every > 1``.
     """
     stop_i = jnp.asarray(stop_i, dtype=jnp.int32)
 
@@ -185,8 +191,11 @@ def while_block(
             real,
             jnp.logical_and(c.i > min_iter, _converged(obj, c.obj, tol1, tol2)),
         )
-        obj = jnp.where(real, obj, c.obj)
         if verbose:
+            # Print the RAW objective, before the NaN-hold below: with
+            # objective_every > 1 a skipped iteration then prints a
+            # visible nan instead of silently repeating the held value
+            # (which would be indistinguishable from a stalled solver).
             if verbose is True:
                 jax.debug.print("[{i}]: {o}", i=c.i, o=obj)
             else:
@@ -196,6 +205,7 @@ def while_block(
                 # verbose_precision()
                 jax.debug.print("[{i}]: {o:.%df}" % int(verbose),
                                 i=c.i, o=obj)
+        obj = jnp.where(real, obj, c.obj)
         return LoopCarry(c.i + 1, obj, conv, obj_buf, inner)
 
     return jax.lax.while_loop(cond, body, carry)

@@ -95,18 +95,26 @@ def _mur_block(
 ):
     # Objective cadence (opt-in, objective_every > 1): the objective is
     # computed/recorded only on refresh iterations — every N-th, plus the
-    # last one before the loop's stop bound so the final entry is always
-    # real.  Skipped iterations record NaN, which while_block treats as
-    # "no observation" (the convergence comparison holds the last real
+    # run's last possible iteration (the static max_iter bound) so the
+    # final entry is real whenever the budget runs out.  The gate is
+    # deliberately NOT the per-block stop_i: blocked execution
+    # (block_size / checkpoint_path) must record the same trace and stop
+    # at the same iteration as a single-dispatch run (common.py's
+    # invariant), so block boundaries add no extra real objectives.
+    # Convergence stops record a real objective by construction (the
+    # check only fires on real values), preserving the
+    # final-entry-is-real guarantee on every exit path.  Skipped
+    # iterations record NaN, which while_block treats as "no
+    # observation" (the convergence comparison holds the last real
     # value).  For KL this removes the elementwise log pass from skipped
     # iterations — the measured VPU bottleneck of the 2-pass KL headline
     # (docs/PERF.md, KL roofline attribution).
     obj_dtype = carry.obj.dtype
     _nan = jnp.full((), jnp.nan, dtype=obj_dtype)
-    _limit = jnp.minimum(jnp.asarray(stop_i, jnp.int32), max_iter)
 
     def _refresh(i):
-        return jnp.logical_or((i + 1) % objective_every == 0, i + 1 >= _limit)
+        return jnp.logical_or((i + 1) % objective_every == 0,
+                              i + 1 >= max_iter)
 
     def cadence_obj(i, fn):
         """fn() -> scalar objective; skipped (-> NaN) off-cadence."""
