@@ -423,7 +423,12 @@ def bench_mur_eu(m=8192, n=8192, k=128, iters=50, data_dtype=jnp.float32,
     # is taken from the (iters vs 5*iters) wall-time DELTA — same
     # compiled function, only the dynamic stop index differs
     t1 = min(timed(iters)[0], timed(iters)[0])
-    t2, out, final_obj = timed(long_iters)
+    # best-of-two on the long point as well: one slow tunnel window on a
+    # single long run otherwise deflates the headline (see
+    # bench_solver_rates for the observed failure mode)
+    t2a, out, final_obj = timed(long_iters)
+    t2b, _, _ = timed(long_iters)
+    t2 = min(t2a, t2b)
 
     assert int(out.i) == long_iters
     iters_per_sec = (long_iters - iters) / max(t2 - t1, 1e-3)
@@ -528,7 +533,9 @@ def bench_mur_kl(m=8192, n=8192, k=128, iters=30, data_dtype=jnp.bfloat16,
 
     float(run(init_carry(obj0, long_iters + 1, inner0), 2).obj)
     t1 = min(timed(iters)[0], timed(iters)[0])
-    t2, out = timed(long_iters)
+    t2a, out = timed(long_iters)
+    t2b, _ = timed(long_iters)
+    t2 = min(t2a, t2b)
     assert int(out.i) == long_iters
     iters_per_sec = (long_iters - iters) / max(t2 - t1, 1e-3)
 
@@ -660,7 +667,11 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
         run_timed(fn, iters, **kw)              # compile short count
         run_timed(fn, iters + delta, **kw)      # compile long count
         t1 = min(run_timed(fn, iters, **kw), run_timed(fn, iters, **kw))
-        t2 = run_timed(fn, iters + delta, **kw)
+        # min over TWO long runs as well: a single tunnel hiccup on the
+        # long run otherwise poisons the delta (BENCH_r04 recorded
+        # mur_kl=160 it/s from one slow window; re-measured 26k)
+        t2 = min(run_timed(fn, iters + delta, **kw),
+                 run_timed(fn, iters + delta, **kw))
         dt = max(t2 - t1, 0.05)  # 50 ms measurement floor
         return round(delta / dt, 2)
 
