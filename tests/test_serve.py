@@ -382,3 +382,106 @@ def test_blockmax_relayout_kernel_matches_jnp(rng):
         np.testing.assert_array_equal(np.asarray(s3_k, np.float32),
                                       np.asarray(s3_j, np.float32))
         assert s3_k.shape[1] % 128 == 0 and s3_k.shape[2] == 128
+
+
+def test_wide_topk_two_level_matches_lax(rng):
+    """The two-level candidate select (engaged when the gathered
+    candidate set exceeds _WIDE_TOPK_MIN) must agree with plain
+    lax.top_k through _exact_topk's verification: random scores, plus a
+    tie pattern crossing inner blocks that forces the fallback."""
+    import jax.numpy as jnp
+    from tpunmf.serve import topk as st
+
+    b, n, k = 4, 128 * 128 * 3, 150     # nb=384, ksel=158, c=20224 > 16384
+    s = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    assert (158 * 128) > st._WIDE_TOPK_MIN  # the wide path really engages
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = st._exact_topk(s, k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    # boundary ties spread across inner blocks: exactness must survive
+    # (fast path if the extra absorbs them, else verified fallback)
+    st2 = np.asarray(s).copy()
+    st2[:, ::997] = st2[:, k - 1:k]  # replicate the boundary value widely
+    s2 = jnp.asarray(st2)
+    v2_ref, i2_ref = jax.lax.top_k(s2, k)
+    v2, i2 = st._exact_topk(s2, k)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2_ref))
+
+
+def test_exact_topk_core_without_scores(rng):
+    """_exact_topk_core with scores=None (the fused-kernel entry) must
+    reconstruct the flat scores for the fallback: all-constant rows
+    force it, and the result still equals lax.top_k on the original
+    (ragged) width."""
+    import jax.numpy as jnp
+    from tpunmf.ops.topk_select import blockmax_relayout_jnp
+    from tpunmf.serve.topk import _exact_topk_core
+
+    b, n, k = 3, 40000, 9               # ragged: nbp*128 > n
+    s = jnp.ones((b, n), jnp.float32) * 0.25
+    bm, s3 = blockmax_relayout_jnp(s)
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk_core(bm, s3, n, k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+
+    # and the fast path through the core (no ties): same equality
+    s = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32))
+    bm, s3 = blockmax_relayout_jnp(s)
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk_core(bm, s3, n, k)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_score_blockmax_relayout_kernel_matches_jnp(rng):
+    """Fused scoring+blockmax kernel (interpret mode) vs the pure-XLA
+    producer: f32 accumulation/output regardless of input dtype, ragged
+    tails, multi-row-tile batches."""
+    import jax.numpy as jnp
+    from tpunmf.ops.topk_select import (
+        score_blockmax_fits, score_blockmax_relayout,
+        score_blockmax_relayout_jnp)
+
+    for b, r, n, dt in [(8, 128, 16384, jnp.float32),
+                        (8, 128, 40000, jnp.float32),   # ragged tail
+                        (8, 64, 16384, jnp.bfloat16),   # quantized stage
+                        (96, 128, 16384, jnp.float32)]: # 2 row tiles
+        w = jnp.asarray(rng.random((b, r)).astype(np.float32)).astype(dt)
+        h = jnp.asarray(rng.random((r, n)).astype(np.float32)).astype(dt)
+        bm_k, s3_k = score_blockmax_relayout(w, h, interpret=True)
+        bm_j, s3_j = score_blockmax_relayout_jnp(w, h)
+        assert bm_k.dtype == jnp.float32 and s3_k.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(bm_k), np.asarray(bm_j),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s3_k), np.asarray(s3_j),
+                                   rtol=2e-5, atol=2e-5)
+        assert score_blockmax_fits(b, r, jnp.dtype(dt).itemsize)
+
+
+def test_quantized_stage_scores_are_f32_accumulated(rng):
+    """Regression (round 5): the quantized stage-1 matmul must emit f32,
+    not bf16 — a bf16 OUTPUT ties many scores at the selection
+    threshold, which forced the full-sort fallback on every call.  The
+    candidate set must therefore match top-c of the f32-accumulated
+    bf16-input scores exactly."""
+    import jax.numpy as jnp
+    from tpunmf.serve.topk import _quantized_rerank, _scored_topk
+
+    b, r, n, k = 8, 32, 4096, 50
+    w = jnp.asarray(rng.random((b, r)).astype(np.float32))
+    h = jnp.asarray(rng.random((r, n)).astype(np.float32))
+    hq = h.astype(jnp.bfloat16)
+    ref_scores = jnp.matmul(w.astype(jnp.bfloat16), hq,
+                            preferred_element_type=jnp.float32)
+    c = 4 * k
+    _, cand_ref = jax.lax.top_k(ref_scores, c)
+    _, cand = _scored_topk(w.astype(jnp.bfloat16), hq, c)
+    np.testing.assert_array_equal(np.asarray(cand), np.asarray(cand_ref))
+    # end-to-end: rerank picks the exact-f32 top-k within the candidates
+    vals, idx = _quantized_rerank(w, h, k, "bf16", 4, 1.0, hq=hq)
+    exact = jnp.matmul(w, h, preferred_element_type=jnp.float32)
+    v_ref, i_ref = jax.lax.top_k(exact, k)
+    from tpunmf.serve import recall_at_k
+    assert float(recall_at_k(idx, i_ref)) > 0.9

@@ -104,6 +104,109 @@ def blockmax_relayout(scores, sel_block: int = 128, interpret: bool = False):
     )(scores)
 
 
+def _score_bmax_kernel(w_ref, h_ref, bmax_ref, s3_ref, *, n, bn, sel_block,
+                       nt):
+    j = pl.program_id(1)
+    rb = w_ref.shape[0]
+    lo = jnp.finfo(s3_ref.dtype).min
+    # (rb, r) @ (r, bn) on the MXU with f32 accumulation AND f32 output:
+    # emitting the input dtype (bf16) would tie up to ~90 of 1M scores
+    # at the selection threshold (8-bit mantissa), which defeats the
+    # verified-exact fast path downstream (serve/topk._exact_topk).
+    scores = jax.lax.dot_general(
+        w_ref[:], h_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nt - 1)
+    def _():
+        # ragged tail: columns past n came from out-of-bounds H reads
+        gcol = j * bn + jax.lax.broadcasted_iota(jnp.int32, (rb, bn), 1)
+        x3 = jnp.where(gcol < n, scores, lo).reshape(
+            rb, bn // sel_block, sel_block)
+        s3_ref[:] = x3
+        bmax_ref[:] = jnp.max(x3, -1)
+
+    @pl.when(j != nt - 1)
+    def _():
+        x3 = scores.reshape(rb, bn // sel_block, sel_block)
+        s3_ref[:] = x3
+        bmax_ref[:] = jnp.max(x3, -1)
+
+
+# VMEM budget for the fused kernel: double-buffered H strips + relayout
+# out strips + the resident W tile.  v5e VMEM is 128 MB; leave headroom.
+_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def score_blockmax_fits(b: int, r: int, h_itemsize: int,
+                        sel_block: int = 128) -> bool:
+    """Whether the fused scoring kernel's VMEM windows fit the budget."""
+    bn = _LANES * sel_block
+    rb = min(b, _ROW_TILE)
+    need = 2 * (r * bn * h_itemsize        # H strip (double buffered)
+                + rb * bn * 4              # s3 out strip (f32)
+                + rb * _LANES * 4)         # bmax out tile
+    need += rb * r * 4                     # resident W tile
+    return need <= _FUSED_VMEM_LIMIT
+
+
+@partial(jax.jit, static_argnames=("sel_block", "interpret"))
+def score_blockmax_relayout(w_batch, h, sel_block: int = 128,
+                            interpret: bool = False):
+    """Fused serving scoring + block-max + relayout: ONE pass over H.
+
+    Computes ``scores = w_batch @ h`` (f32 accumulation and output
+    regardless of input dtype) and emits the same (block maxima,
+    (b, nbp, sel_block) relayout) pair as :func:`blockmax_relayout` —
+    without ever materializing the (b, n) score matrix in HBM.  At
+    (64, 1M) r128 bf16-H that cuts the scoring+selection HBM traffic
+    from ~1 GB (H + scores written + scores re-read + relayout written)
+    to ~0.5 GB (H read + relayout written).
+
+    ``w_batch`` should already be in the dtype you want the MXU to read
+    (cast it to ``h.dtype`` for a quantized stage).  Output is always
+    f32.  Callers must check :func:`score_blockmax_fits` first — very
+    large ranks overflow the VMEM window budget (fall back to the
+    unfused matmul + :func:`blockmax_relayout` compose).
+    """
+    b, r = w_batch.shape
+    r2, n = h.shape
+    assert r == r2, (w_batch.shape, h.shape)
+    if sel_block % 128:
+        raise ValueError(f"sel_block {sel_block} must be a multiple of 128")
+    bn = _LANES * sel_block
+    nt = -(-n // bn)
+    nbp = nt * _LANES
+    rb = b if b <= _ROW_TILE else _ROW_TILE
+    nr = -(-b // rb)
+    kern = partial(_score_bmax_kernel, n=n, bn=bn, sel_block=sel_block, nt=nt)
+    return pl.pallas_call(
+        kern,
+        grid=(nr, nt),
+        in_specs=[
+            pl.BlockSpec((rb, r), lambda i, j: (i, 0)),
+            pl.BlockSpec((r, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, _LANES), lambda i, j: (i, j)),
+            pl.BlockSpec((rb, _LANES, sel_block), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nbp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nbp, sel_block), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT + 16 * 1024 * 1024),
+        interpret=interpret,
+    )(w_batch, h)
+
+
+def score_blockmax_relayout_jnp(w_batch, h, sel_block: int = 128):
+    """Pure-XLA producer with identical output semantics (CPU / fallback)."""
+    scores = jnp.matmul(w_batch, h, preferred_element_type=jnp.float32)
+    return blockmax_relayout_jnp(scores, sel_block)
+
+
 def blockmax_relayout_jnp(scores, sel_block: int = 128):
     """Pure-XLA reference/CPU producer with identical output semantics.
 

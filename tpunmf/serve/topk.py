@@ -21,7 +21,13 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from tpunmf.ops.topk_select import blockmax_relayout, blockmax_relayout_jnp
+from tpunmf.ops.topk_select import (
+    blockmax_relayout,
+    blockmax_relayout_jnp,
+    score_blockmax_fits,
+    score_blockmax_relayout,
+    score_blockmax_relayout_jnp,
+)
 
 
 _TOPK_BLOCK = 16384
@@ -99,12 +105,69 @@ def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
         bmax, s3 = blockmax_relayout(scores, sel_block)
     else:
         bmax, s3 = blockmax_relayout_jnp(scores, sel_block)
-    nb = s3.shape[1]
+    return _exact_topk_core(bmax, s3, n, k, sel_block=sel_block,
+                            sel_extra=sel_extra, block=block, scores=scores)
+
+
+# candidate sets wider than this use a second blockmax level: a flat
+# lax.top_k over (64, 52224) at k=408 measured ~3.0 ms on v5e, vs
+# ~0.7 ms for the two-level select (the quantized stage's oversample*k
+# candidates made this the dominant cost of the whole retrieval)
+_WIDE_TOPK_MIN = 16384
+_WIDE_INNER_BLOCK = 8
+_WIDE_INNER_EXTRA = 32
+
+
+def _wide_topk(flat, kk: int):
+    """top-kk of a WIDE (b, c) matrix via a second block-max level.
+
+    Same lower-bound argument as :func:`_exact_topk`: every element
+    strictly greater than the kk-th selected value is captured; ties AT
+    the boundary value may be dropped when they straddle non-selected
+    inner blocks (``_WIDE_INNER_EXTRA`` absorbs most block-max ties).
+    Callers must run the full verification pass — this helper alone is
+    not tie-exact.  ``c`` must be a multiple of ``_WIDE_INNER_BLOCK``
+    (holds: c = ksel * sel_block, sel_block % 128 == 0).
+    """
+    b, c = flat.shape
+    ib = _WIDE_INNER_BLOCK
+    nb2 = c // ib
+    f3 = flat.reshape(b, nb2, ib)
+    m2 = jnp.max(f3, -1)
+    ks2 = min(kk + _WIDE_INNER_EXTRA, nb2)
+    _, b2 = jax.lax.top_k(m2, ks2)
+    g2 = jnp.take_along_axis(f3, b2[:, :, None], axis=1).reshape(b, ks2 * ib)
+    v, p = jax.lax.top_k(g2, kk)
+    idx = jnp.take_along_axis(b2, p // ib, axis=1) * ib + p % ib
+    return v, idx
+
+
+def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
+                     sel_extra: int = 8, block: int = _TOPK_BLOCK,
+                     scores=None):
+    """Steps 2-4 of :func:`_exact_topk`, from a (block maxima, relayout)
+    pair — which the fused scoring kernel
+    (``ops.topk_select.score_blockmax_relayout``) produces WITHOUT ever
+    materializing the (b, n) score matrix in HBM.
+
+    Verification counts run over ``s3`` (identical content; tail blocks
+    hold ``finfo.min`` padding, which can only miscount when tau itself
+    equals ``finfo.min`` — that degenerate case forces the fallback).
+    ``scores`` is only needed by the rare tie/NaN fallback; when absent
+    it is reconstructed from ``s3`` (one relayout, paid only on
+    fallback).
+    """
+    b, nb = bmax.shape
     ksel = min(k + sel_extra, nb)
     _, bidx = jax.lax.top_k(bmax, ksel)                  # (b, ksel)
     gath = jnp.take_along_axis(s3, bidx[:, :, None], axis=1)
     c = ksel * sel_block
-    v1, p1 = jax.lax.top_k(gath.reshape(b, c), min(k + sel_extra, c))
+    kk = min(k + sel_extra, c)
+    flat = gath.reshape(b, c)
+    if c > _WIDE_TOPK_MIN and kk < c // _WIDE_INNER_BLOCK:
+        v1, p1 = _wide_topk(flat, kk)
+    else:
+        v1, p1 = jax.lax.top_k(flat, kk)
     # global index of each selected element
     gidx = (jnp.take_along_axis(bidx, p1 // sel_block, axis=1) * sel_block
             + p1 % sel_block)
@@ -113,16 +176,29 @@ def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
     vals_sorted = -neg_v
     tau = vals_sorted[:, k - 1:k]                        # (b, 1)
 
-    gt_global = jnp.sum(scores > tau, axis=1)
-    eq_global = jnp.sum(scores == tau, axis=1)
+    gt_global = jnp.sum(s3 > tau[:, :, None], axis=(1, 2))
+    eq_global = jnp.sum(s3 == tau[:, :, None], axis=(1, 2))
     gt_cand = jnp.sum(vals_sorted > tau, axis=1)
     eq_cand = jnp.sum(vals_sorted == tau, axis=1)
     # NaNs compare false on BOTH sides of the count check, so they could
     # slip through verification while ranking differently (lax.top_k's
     # total order puts NaN FIRST; the candidate tie-sort pushes it last)
     # — any NaN forces the fallback, whose lax.top_k semantics match.
-    any_nan = jnp.any(jnp.isnan(scores))
-    ok = jnp.all((gt_global == gt_cand) & (eq_global == eq_cand)) & ~any_nan
+    # tau == finfo.min would make the padded tail entries count as
+    # boundary ties — degenerate (an all-minimum row); also fallback.
+    any_nan = jnp.any(jnp.isnan(s3))
+    lo = jnp.finfo(s3.dtype).min
+    ok = (jnp.all((gt_global == gt_cand) & (eq_global == eq_cand))
+          & ~any_nan & jnp.all(tau > lo))
+
+    if scores is None:
+        def fallback(s3_):
+            flat_scores = s3_.reshape(b, nb * sel_block)[:, :n]
+            return _blocked_topk(flat_scores, k, block)
+
+        fb_operand, fb = s3, fallback
+    else:
+        fb_operand, fb = scores, lambda s: _blocked_topk(s, k, block)
 
     # NOTE: the fallback is batch-global (one pathological row pays the
     # full sort for the whole batch) — under jit a per-row select would
@@ -131,16 +207,56 @@ def _exact_topk(scores, k: int, block: int = _TOPK_BLOCK,
     return jax.lax.cond(
         ok,
         lambda s: (vals_sorted[:, :k], idx_sorted[:, :k]),
-        lambda s: _blocked_topk(s, k, block),
-        scores,
+        fb,
+        fb_operand,
     )
+
+
+def _acc_type(w_batch, h):
+    """Accumulation/output dtype for scoring matmuls: at LEAST f32 (a
+    bf16 output's 8-bit mantissa ties scores and defeats the verified
+    fast path), but never below the natural result type (f64 inputs on
+    the x64 CPU path keep f64)."""
+    return jnp.promote_types(jnp.result_type(w_batch, h), jnp.float32)
+
+
+# Fused scoring+blockmax kernel gate.  OPT-IN while hardware validation
+# is pending: the first on-device run of score_blockmax_relayout wedged
+# the (tunneled) v5e for tens of minutes (symptom: every subsequent
+# program hangs), so the production path must not reach it until the
+# kernel is proven on the target runtime.  Flip via env
+# TPUNMF_FUSED_SCORING=1 (read at import, like solvers/tpu_defaults).
+import os as _os
+
+_FUSED_SCORING = _os.environ.get("TPUNMF_FUSED_SCORING", "0") == "1"
+
+
+def _scored_topk(w_batch, h, k: int, block: int = _TOPK_BLOCK,
+                 sel_block: int = 128, sel_extra: int = 8):
+    """score (w_batch @ h, f32 accumulation) + exact top-k; optionally
+    fusing the GEMM into the blockmax/relayout Pallas kernel on TPU so
+    the (b, n) score matrix never round-trips HBM (gated, see above)."""
+    b, r = w_batch.shape
+    n = h.shape[1]
+    if n <= 2 * block or k >= block:
+        scores = jnp.matmul(w_batch, h,
+                            preferred_element_type=_acc_type(w_batch, h))
+        return jax.lax.top_k(scores, k)
+    if (_FUSED_SCORING and jax.default_backend() == "tpu"
+            and score_blockmax_fits(b, r, h.dtype.itemsize, sel_block)):
+        bmax, s3 = score_blockmax_relayout(w_batch, h, sel_block)
+        return _exact_topk_core(bmax, s3, n, k, sel_block=sel_block,
+                                sel_extra=sel_extra, block=block)
+    scores = jnp.matmul(w_batch, h,
+                        preferred_element_type=_acc_type(w_batch, h))
+    return _exact_topk(scores, k, block=block, sel_block=sel_block,
+                       sel_extra=sel_extra)
 
 
 @partial(jax.jit, static_argnames=("k",))
 def topk_scores_dense(w_batch, h, k: int):
     """Single-device scoring + top-k: returns (values, item_indices)."""
-    scores = w_batch @ h  # (b, n)
-    return _exact_topk(scores, k)
+    return _scored_topk(w_batch, h, k)
 
 
 _FIRST_STAGE_DTYPES = {"bf16": jnp.bfloat16, "f16": jnp.float16}
@@ -171,13 +287,25 @@ def _quantized_rerank(w_batch, h, k: int, dtype_name: str, oversample: int,
     c = min(oversample * k, n)
     if hq is None:
         hq = h.astype(q)
-    scores_q = (w_batch.astype(q) @ hq).astype(jnp.float32)
-    if exclude is not None:
-        scores_q = jnp.where(exclude, -jnp.inf, scores_q)
-    if recall_target < 1.0:
-        _, cand = jax.lax.approx_max_k(scores_q, c, recall_target=recall_target)
+    if exclude is None and recall_target >= 1.0:
+        # fast path: fused scoring+blockmax kernel — low-precision H read
+        # on the MXU with f32 accumulation AND f32 output.  (A bf16
+        # OUTPUT would tie up to ~90 of 1M scores at the selection
+        # threshold via the 8-bit mantissa, making _exact_topk's
+        # tie-verification fail on ~85% of rows and take the full-sort
+        # fallback on every call — measured 51.7 ms vs 1.4 ms for the
+        # whole quantized path at (64, 1M) r128.)
+        _, cand = _scored_topk(w_batch.astype(q), hq, c)  # (b, c)
     else:
-        _, cand = _exact_topk(scores_q, c)                # (b, c)
+        scores_q = jnp.matmul(w_batch.astype(q), hq,
+                              preferred_element_type=jnp.float32)
+        if exclude is not None:
+            scores_q = jnp.where(exclude, -jnp.inf, scores_q)
+        if recall_target < 1.0:
+            _, cand = jax.lax.approx_max_k(scores_q, c,
+                                           recall_target=recall_target)
+        else:
+            _, cand = _exact_topk(scores_q, c)            # (b, c)
     h_cand = jnp.take(h.T, cand, axis=0)                  # (b, c, r)
     scores = jnp.einsum("br,bcr->bc", w_batch, h_cand)    # exact rescore
     if exclude is not None:
@@ -219,18 +347,24 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
             out_vals, pos = jax.lax.top_k(all_vals, k)
             out_idx = jnp.take_along_axis(all_idx, pos, axis=1)
             return out_vals, out_idx
-        scores = w_b @ h_loc  # (b, n_local)
-        if excl_loc is not None:
-            scores = jnp.where(excl_loc, -jnp.inf, scores)
-        if recall_target < 1.0:
-            # TPU-native approximate top-k (bitonic partial reduce):
-            # much cheaper than the full sort at large n_local, with the
-            # requested per-shard recall (the final cross-shard re-rank
-            # below is exact over the gathered candidates)
-            vals, idx = jax.lax.approx_max_k(
-                scores, kk, recall_target=recall_target)
+        if excl_loc is None and recall_target >= 1.0:
+            # fused scoring+blockmax kernel per shard (scores never
+            # materialized in HBM) — same fast path as the dense route
+            vals, idx = _scored_topk(w_b, h_loc, kk)
         else:
-            vals, idx = _exact_topk(scores, kk)  # local candidates
+            scores = jnp.matmul(w_b, h_loc,
+                                preferred_element_type=_acc_type(w_b, h_loc))
+            if excl_loc is not None:
+                scores = jnp.where(excl_loc, -jnp.inf, scores)
+            if recall_target < 1.0:
+                # TPU-native approximate top-k (bitonic partial reduce):
+                # much cheaper than the full sort at large n_local, with
+                # the requested per-shard recall (the final cross-shard
+                # re-rank below is exact over the gathered candidates)
+                vals, idx = jax.lax.approx_max_k(
+                    scores, kk, recall_target=recall_target)
+            else:
+                vals, idx = _exact_topk(scores, kk)  # local candidates
         offset = jax.lax.axis_index("cols") * n_local
         idx = idx + offset
         # gather candidates from every shard and re-rank
