@@ -134,8 +134,14 @@ def _score_bmax_kernel(w_ref, h_ref, bmax_ref, s3_ref, *, n, bn, sel_block,
 
 
 # VMEM budget for the fused kernel: double-buffered H strips + relayout
-# out strips + the resident W tile.  v5e VMEM is 128 MB; leave headroom.
-_FUSED_VMEM_LIMIT = 100 * 1024 * 1024
+# out strips + the resident W tile.  Kept at the 64 MB the proven
+# blockmax kernel uses (a 116 MB limit — close to the chip's 128 MB
+# physical VMEM — was in effect when the first on-device run wedged the
+# device; conservatively ruled out).  The fits-check reserves headroom
+# for the (rb, bn) f32 score intermediate the estimate below does not
+# itemize.
+_FUSED_VMEM_LIMIT = 64 * 1024 * 1024
+_FUSED_FIT_BUDGET = 48 * 1024 * 1024
 
 
 def score_blockmax_fits(b: int, r: int, h_itemsize: int,
@@ -147,7 +153,7 @@ def score_blockmax_fits(b: int, r: int, h_itemsize: int,
                 + rb * bn * 4              # s3 out strip (f32)
                 + rb * _LANES * 4)         # bmax out tile
     need += rb * r * 4                     # resident W tile
-    return need <= _FUSED_VMEM_LIMIT
+    return need <= _FUSED_FIT_BUDGET
 
 
 @partial(jax.jit, static_argnames=("sel_block", "interpret"))
@@ -196,7 +202,7 @@ def score_blockmax_relayout(w_batch, h, sel_block: int = 128,
             jax.ShapeDtypeStruct((b, nbp, sel_block), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_FUSED_VMEM_LIMIT + 16 * 1024 * 1024),
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT),
         interpret=interpret,
     )(w_batch, h)
 
