@@ -41,25 +41,36 @@ _LANES = 128
 _ROW_TILE = 64
 
 
-def _bmax_kernel(x_ref, bmax_ref, s3_ref, *, n, bn, sel_block, nt):
+def _bmax_epilogue(scores, bmax_ref, s3_ref, *, n, bn, sel_block, nt):
+    """Shared kernel tail: mask the ragged final strip to finfo.min,
+    split the minor axis into sel_block-wide blocks, store the relayout
+    and the per-block maxima.  ``scores`` is the (rb, bn) strip already
+    in VMEM (a loaded ref for the plain kernel, an MXU result for the
+    fused one)."""
     j = pl.program_id(1)
-    rb = x_ref.shape[0]
-    lo = jnp.finfo(x_ref.dtype).min
+    rb = scores.shape[0]
+    lo = jnp.finfo(scores.dtype).min
 
     @pl.when(j == nt - 1)
     def _():
-        # ragged tail: lanes past n are out-of-bounds garbage reads
+        # ragged tail: lanes past n are out-of-bounds garbage (reads or
+        # products of garbage H columns)
         gcol = j * bn + jax.lax.broadcasted_iota(jnp.int32, (rb, bn), 1)
-        x3 = jnp.where(gcol < n, x_ref[:], lo).reshape(
+        x3 = jnp.where(gcol < n, scores, lo).reshape(
             rb, bn // sel_block, sel_block)
         s3_ref[:] = x3
         bmax_ref[:] = jnp.max(x3, -1)
 
     @pl.when(j != nt - 1)
     def _():
-        x3 = x_ref[:].reshape(rb, bn // sel_block, sel_block)
+        x3 = scores.reshape(rb, bn // sel_block, sel_block)
         s3_ref[:] = x3
         bmax_ref[:] = jnp.max(x3, -1)
+
+
+def _bmax_kernel(x_ref, bmax_ref, s3_ref, *, n, bn, sel_block, nt):
+    _bmax_epilogue(x_ref[:], bmax_ref, s3_ref, n=n, bn=bn,
+                   sel_block=sel_block, nt=nt)
 
 
 @partial(jax.jit, static_argnames=("sel_block", "interpret"))
@@ -106,9 +117,6 @@ def blockmax_relayout(scores, sel_block: int = 128, interpret: bool = False):
 
 def _score_bmax_kernel(w_ref, h_ref, bmax_ref, s3_ref, *, n, bn, sel_block,
                        nt):
-    j = pl.program_id(1)
-    rb = w_ref.shape[0]
-    lo = jnp.finfo(s3_ref.dtype).min
     # (rb, r) @ (r, bn) on the MXU with f32 accumulation AND f32 output:
     # emitting the input dtype (bf16) would tie up to ~90 of 1M scores
     # at the selection threshold (8-bit mantissa), which defeats the
@@ -116,21 +124,8 @@ def _score_bmax_kernel(w_ref, h_ref, bmax_ref, s3_ref, *, n, bn, sel_block,
     scores = jax.lax.dot_general(
         w_ref[:], h_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-
-    @pl.when(j == nt - 1)
-    def _():
-        # ragged tail: columns past n came from out-of-bounds H reads
-        gcol = j * bn + jax.lax.broadcasted_iota(jnp.int32, (rb, bn), 1)
-        x3 = jnp.where(gcol < n, scores, lo).reshape(
-            rb, bn // sel_block, sel_block)
-        s3_ref[:] = x3
-        bmax_ref[:] = jnp.max(x3, -1)
-
-    @pl.when(j != nt - 1)
-    def _():
-        x3 = scores.reshape(rb, bn // sel_block, sel_block)
-        s3_ref[:] = x3
-        bmax_ref[:] = jnp.max(x3, -1)
+    _bmax_epilogue(scores, bmax_ref, s3_ref, n=n, bn=bn,
+                   sel_block=sel_block, nt=nt)
 
 
 # VMEM budget for the fused kernel: double-buffered H strips + relayout
@@ -153,6 +148,7 @@ def score_blockmax_fits(b: int, r: int, h_itemsize: int,
                 + rb * bn * 4              # s3 out strip (f32)
                 + rb * _LANES * 4)         # bmax out tile
     need += rb * r * 4                     # resident W tile
+    need += rb * bn * 4                    # (rb, bn) f32 score intermediate
     return need <= _FUSED_FIT_BUDGET
 
 
@@ -167,7 +163,10 @@ def score_blockmax_relayout(w_batch, h, sel_block: int = 128,
     without ever materializing the (b, n) score matrix in HBM.  At
     (64, 1M) r128 bf16-H that cuts the scoring+selection HBM traffic
     from ~1 GB (H + scores written + scores re-read + relayout written)
-    to ~0.5 GB (H read + relayout written).
+    to ~0.5 GB (H read + relayout written).  That traffic model holds
+    for b <= 64 (one row tile); larger batches re-stream all of H once
+    per 64-row tile — ceil(b/64) H reads — so size serving batches at
+    64 rows when H dominates the byte budget.
 
     ``w_batch`` should already be in the dtype you want the MXU to read
     (cast it to ``h.dtype`` for a quantized stage).  Output is always

@@ -452,7 +452,14 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
             return _quantized_rerank(
                 w_batch, jnp.asarray(h), k, first_stage_dtype, oversample,
                 recall_target, exclude=exclude, hq=h_quantized)
-        scores = w_batch @ h
+        if exclude is None and recall_target >= 1.0:
+            # f32-accumulated scoring (+ fused kernel when enabled) —
+            # same fast path as topk_scores_dense; a low-precision
+            # matmul OUTPUT here would tie scores at the selection
+            # threshold and force the sort fallback every call
+            return _scored_topk(w_batch, jnp.asarray(h), k)
+        scores = jnp.matmul(w_batch, h,
+                            preferred_element_type=_acc_type(w_batch, h))
         if exclude is not None:
             scores = jnp.where(exclude, -jnp.inf, scores)
         if recall_target < 1.0:

@@ -103,7 +103,11 @@ def _mur_block(
     # invariant), so block boundaries add no extra real objectives.
     # Convergence stops record a real objective by construction (the
     # check only fires on real values), preserving the
-    # final-entry-is-real guarantee on every exit path.  Skipped
+    # final-entry-is-real guarantee on every exit path OF THE PUBLIC
+    # mur() DRIVER (whose terminal block's stop bound is max_iter).  A
+    # direct _mur_block caller whose terminal stop_i < max_iter sees the
+    # raw cadence trace — its last entry may be NaN; carry.obj still
+    # holds the last real objective (while_block's NaN-hold).  Skipped
     # iterations record NaN, which while_block treats as "no
     # observation" (the convergence comparison holds the last real
     # value).  For KL this removes the elementwise log pass from skipped
