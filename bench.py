@@ -566,9 +566,15 @@ def bench_serving(b=64, r=128, n=1 << 20, topk=100, iters=20) -> dict:
     exact vs bf16 retrieve-then-rerank (pre-stored bf16 H), plus the
     measured recall of the quantized stage vs exact.
 
-    Scoring is HBM-bound (reads all of H per batch), so the bf16 stage-1
-    copy should approach 2x f32 QPS.  Delta-timed like every other rate;
-    the per-trip w_batch perturbation defeats CSE across loop trips.
+    Expectation, post the round-5 fused scoring kernel: at r=128 the
+    EXACT path is latency-optimal (selection machinery, not scoring
+    bytes, dominates — the quantized stage pays bmax-top-(4k), a
+    408-block gather, the wide two-level select, verification, and the
+    f32 rescore on top of its halved H read), so quantized lands at
+    ~0.75x exact QPS; its value is CAPACITY (2x items per HBM byte,
+    beyond-HBM streaming tier), not speed.  Delta-timed like every
+    other rate; the per-trip w_batch perturbation defeats CSE across
+    loop trips.
     """
     from tpunmf.serve.topk import recall_at_k, topk_scores_dense
     from tpunmf.serve.topk import _quantized_rerank
@@ -763,6 +769,15 @@ def main():
             serving = bench_serving()
         except Exception as e:
             serving = {"error": str(e)[:200]}
+    try:
+        # high-rank point: scoring bytes scale with r while the top-k
+        # machinery doesn't, so this is where the fused scoring kernel's
+        # streaming rate shows (418 GB/s measured r5) and where the
+        # quantized stage's byte saving matters most
+        serving_r512 = bench_serving(b=64, r=512, n=1 << 19, topk=100,
+                                     iters=10)
+    except Exception as e:
+        serving_r512 = {"error": str(e)[:200]}
     tracker.sample()
     tracker.save()
     try:
@@ -859,6 +874,7 @@ def main():
             "rank512_compute_bound": r512_extra,
             "kl_headline": kl_extra,
             "serving_topk": serving,
+            "serving_topk_r512": serving_r512,
             "f32_data_mode": {
                 "iters_per_sec": round(r["iters_per_sec"], 2),
                 "gflops_per_chip": round(r["gflops_per_chip"], 1),

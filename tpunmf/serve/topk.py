@@ -220,15 +220,19 @@ def _acc_type(w_batch, h):
     return jnp.promote_types(jnp.result_type(w_batch, h), jnp.float32)
 
 
-# Fused scoring+blockmax kernel gate.  OPT-IN while hardware validation
-# is pending: the first on-device run of score_blockmax_relayout wedged
-# the (tunneled) v5e for tens of minutes (symptom: every subsequent
-# program hangs), so the production path must not reach it until the
-# kernel is proven on the target runtime.  Flip via env
-# TPUNMF_FUSED_SCORING=1 (read at import, like solvers/tpu_defaults).
+# Fused scoring+blockmax kernel gate, default ON.  Hardware-validated
+# round 5: bit-exact vs the unfused compose at (64,1M)r128 f32/bf16,
+# ragged n, multi-row-tile b=96; end-to-end quantized retrieval 4.08 ms
+# vs 5.88 unfused (and 51.7 before the f32-accumulation fix); exact-f32
+# scoring streams H at 418 GB/s at r512.  CAUTION before touching the
+# kernel's VMEM budget: an earlier variant with vmem_limit_bytes=116 MB
+# (near the chip's 128 MB physical VMEM) wedged the tunneled v5e for
+# ~55 minutes on first launch — every subsequent program hung; the
+# proven 64 MB limit is load-bearing.  Env TPUNMF_FUSED_SCORING=0
+# disables (read at import, like solvers/tpu_defaults).
 import os as _os
 
-_FUSED_SCORING = _os.environ.get("TPUNMF_FUSED_SCORING", "0") == "1"
+_FUSED_SCORING = _os.environ.get("TPUNMF_FUSED_SCORING", "1") == "1"
 
 
 def _scored_topk(w_batch, h, k: int, block: int = _TOPK_BLOCK,
