@@ -601,7 +601,7 @@ def bench_serving(b=64, r=128, n=1 << 20, topk=100, iters=20) -> dict:
     def run_quant(w, hh, hhq, it):
         def body(t, c):
             wb = w * (1.0 + t.astype(jnp.float32) * 1e-6)
-            v, _ = _quantized_rerank(wb, hh, topk, "bf16", 4, 1.0, hq=hhq)
+            v, _ = _quantized_rerank(wb, hh, topk, "bf16", 2, 1.0, hq=hhq)
             return c + v[0, 0]
 
         return jax.lax.fori_loop(0, it, body, jnp.float32(0.0))
@@ -623,7 +623,7 @@ def bench_serving(b=64, r=128, n=1 << 20, topk=100, iters=20) -> dict:
     t_exact = delta(run_exact, h)
     t_quant = delta(run_quant, h, hq)
     v_e, i_e = topk_scores_dense(w, h, topk)
-    v_q, i_q = _quantized_rerank(w, h, topk, "bf16", 4, 1.0, hq=hq)
+    v_q, i_q = _quantized_rerank(w, h, topk, "bf16", 2, 1.0, hq=hq)
     rec = float(recall_at_k(i_q, i_e))
     h_bytes = r * n * 4
     return {

@@ -332,7 +332,7 @@ _RETRIEVAL_CACHE_MAX = 32
 def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
                              recall_target: float = 1.0,
                              first_stage_dtype: str | None = None,
-                             oversample: int = 4, with_hq: bool = False):
+                             oversample: int = 2, with_hq: bool = False):
     n_shards = mesh.shape["cols"]
     n_local = n // n_shards
 
@@ -410,7 +410,7 @@ def _build_sharded_retrieval(mesh: Mesh, k: int, n: int, with_exclude: bool,
 def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
                    recall_target: float = 1.0,
                    first_stage_dtype: str | None = None,
-                   oversample: int = 4, h_quantized=None):
+                   oversample: int = 2, h_quantized=None):
     """Top-k item retrieval for a batch of user factors.
 
     Args:
@@ -431,6 +431,13 @@ def topk_retrieval(mesh: Mesh | None, w_batch, h, k: int, exclude=None,
         candidates, then gather their f32 columns and re-rank exactly.
         Composes with ``recall_target``.
       oversample: candidate multiplier for the quantized first stage.
+        Default 2, measured round 5 at (64, 1M) r128 bf16: recall@100
+        is 0.993 at oversample 2, 4, AND 8 (the residual 0.7% is
+        f32 accumulation-order noise between the full-GEMM ranking and
+        the gathered-candidate rescore, not quantization loss), while
+        latency rises 2.83 -> 4.16 -> 6.41 ms — the wider candidate
+        top-c costs real time and buys nothing on measured data.
+        Raise it for catalogs with adversarially near-tied scores.
       h_quantized: optional PRE-STORED low-precision copy of ``h`` in the
         ``first_stage_dtype`` dtype (same (r, n) shape/sharding).  This
         is what realizes the byte saving of the bandwidth-bound stage-1
@@ -509,7 +516,7 @@ def topk_streaming(w_batch, h_source, n: int, k: int, *,
                    panel_cols: int = 65536, mesh: Mesh | None = None,
                    exclude=None, recall_target: float = 1.0,
                    first_stage_dtype: str | None = None,
-                   oversample: int = 4):
+                   oversample: int = 2):
     """Top-k retrieval when H exceeds (aggregate) device memory.
 
     The item factors arrive from the host in column panels —
