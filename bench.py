@@ -566,13 +566,11 @@ def bench_serving(b=64, r=128, n=1 << 20, topk=100, iters=20) -> dict:
     exact vs bf16 retrieve-then-rerank (pre-stored bf16 H), plus the
     measured recall of the quantized stage vs exact.
 
-    Expectation, post the round-5 fused scoring kernel: at r=128 the
-    EXACT path is latency-optimal (selection machinery, not scoring
-    bytes, dominates — the quantized stage pays bmax-top-(4k), a
-    408-block gather, the wide two-level select, verification, and the
-    f32 rescore on top of its halved H read), so quantized lands at
-    ~0.75x exact QPS; its value is CAPACITY (2x items per HBM byte,
-    beyond-HBM streaming tier), not speed.  Delta-timed like every
+    Expectation, post the round-5 fused scoring kernel and the
+    measured oversample=2 default: quantized ~2.8 ms vs exact ~3.1 ms
+    at this shape (the halved H read now outweighs the candidate-stage
+    overhead of bmax-top-(2k), block gather, wide select, verification
+    and the f32 rescore), recall@100 0.993.  Delta-timed like every
     other rate; the per-trip w_batch perturbation defeats CSE across
     loop trips.
     """
