@@ -485,3 +485,25 @@ def test_quantized_stage_scores_are_f32_accumulated(rng):
     v_ref, i_ref = jax.lax.top_k(exact, k)
     from tpunmf.serve import recall_at_k
     assert float(recall_at_k(idx, i_ref)) > 0.9
+
+
+def test_exact_topk_boundary_value_straddles_selection(rng):
+    """tau equal to an UNSELECTED block's max (the round-5 fast tier's
+    rejection case): exactness must survive via the slower tiers, bit
+    for bit, including lowest-index-first tie order."""
+    import jax.numpy as jnp
+    from tpunmf.serve.topk import _exact_topk
+
+    b, n, k, block = 2, 129 * 128, 5, 128
+    s = rng.random((b, n)).astype(np.float32)
+    # place the k-th value in an early block AND make it the max of a
+    # far block that top-(k+8) block selection will not gather
+    s[:, :] = np.minimum(s, 0.8)
+    for col in (3, 130, 260, 400, 523):       # five early candidates
+        s[:, col] = 0.9
+    s[:, 128 * 100 + 7] = 0.9                 # tie in block 100 (unselected
+    s = jnp.asarray(s)                        #  only if ksel stays small)
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))

@@ -150,7 +150,22 @@ def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
     (``ops.topk_select.score_blockmax_relayout``) produces WITHOUT ever
     materializing the (b, n) score matrix in HBM.
 
-    Verification counts run over ``s3`` (identical content; tail blocks
+    Verification is TIERED (round 5).  The fast tier never touches the
+    full array again: if tau strictly exceeds the best UNSELECTED block
+    max ``m_next``, then every element >= tau lives in a gathered block
+    (an element v >= tau would need block max >= v >= tau > m_next, so
+    its block was selected) — the gathered set is provably a superset
+    of everything at or above the boundary, and the count comparison
+    only needs to run gathered-vs-candidates over the small gathered
+    strip.  NaNs cannot hide either: a NaN anywhere makes its block max
+    NaN, and lax.top_k's total order puts NaN FIRST, so a NaN block is
+    always gathered — ``isnan`` over the gathered strip is a complete
+    detector.  Only when tau == m_next (a tie straddling the selection
+    boundary) does the middle tier run the original full-array count
+    verification; only when THAT fails does the sort fallback run.
+    Exactness (values AND lax.top_k tie order) stays unconditional.
+
+    Full-array counts run over ``s3`` (identical content; tail blocks
     hold ``finfo.min`` padding, which can only miscount when tau itself
     equals ``finfo.min`` — that degenerate case forces the fallback).
     ``scores`` is only needed by the rare tie/NaN fallback; when absent
@@ -159,7 +174,13 @@ def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
     """
     b, nb = bmax.shape
     ksel = min(k + sel_extra, nb)
-    _, bidx = jax.lax.top_k(bmax, ksel)                  # (b, ksel)
+    if ksel < nb:
+        bvals, bidx_all = jax.lax.top_k(bmax, ksel + 1)
+        bidx = bidx_all[:, :ksel]                        # (b, ksel)
+        m_next = bvals[:, ksel:ksel + 1]                 # (b, 1)
+    else:
+        _, bidx = jax.lax.top_k(bmax, ksel)
+        m_next = jnp.full((b, 1), -jnp.inf, bmax.dtype)  # nothing unselected
     gath = jnp.take_along_axis(s3, bidx[:, :, None], axis=1)
     c = ksel * sel_block
     kk = min(k + sel_extra, c)
@@ -176,38 +197,53 @@ def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
     vals_sorted = -neg_v
     tau = vals_sorted[:, k - 1:k]                        # (b, 1)
 
-    gt_global = jnp.sum(s3 > tau[:, :, None], axis=(1, 2))
-    eq_global = jnp.sum(s3 == tau[:, :, None], axis=(1, 2))
+    lo = jnp.finfo(s3.dtype).min
     gt_cand = jnp.sum(vals_sorted > tau, axis=1)
     eq_cand = jnp.sum(vals_sorted == tau, axis=1)
-    # NaNs compare false on BOTH sides of the count check, so they could
-    # slip through verification while ranking differently (lax.top_k's
-    # total order puts NaN FIRST; the candidate tie-sort pushes it last)
-    # — any NaN forces the fallback, whose lax.top_k semantics match.
-    # tau == finfo.min would make the padded tail entries count as
-    # boundary ties — degenerate (an all-minimum row); also fallback.
-    any_nan = jnp.any(jnp.isnan(s3))
-    lo = jnp.finfo(s3.dtype).min
-    ok = (jnp.all((gt_global == gt_cand) & (eq_global == eq_cand))
-          & ~any_nan & jnp.all(tau > lo))
+
+    # fast tier: gathered-only checks (no full-array pass)
+    gt_gath = jnp.sum(flat > tau, axis=1)
+    eq_gath = jnp.sum(flat == tau, axis=1)
+    nan_gath = jnp.any(jnp.isnan(flat))
+    fast_ok = (jnp.all(tau > m_next)
+               & jnp.all((gt_gath == gt_cand) & (eq_gath == eq_cand))
+               & ~nan_gath & jnp.all(tau > lo))
+
+    accept = (vals_sorted[:, :k], idx_sorted[:, :k])
 
     if scores is None:
-        def fallback(s3_):
+        def sort_fallback(s3_):
             flat_scores = s3_.reshape(b, nb * sel_block)[:, :n]
             return _blocked_topk(flat_scores, k, block)
 
-        fb_operand, fb = s3, fallback
+        fb_operand, fb = s3, sort_fallback
     else:
         fb_operand, fb = scores, lambda s: _blocked_topk(s, k, block)
 
-    # NOTE: the fallback is batch-global (one pathological row pays the
-    # full sort for the whole batch) — under jit a per-row select would
-    # have to COMPUTE the sort for every batch unconditionally, which
-    # costs more than the rare all-rows fallback.
+    def slow_tiers(op):
+        # middle tier: the original full-array count verification —
+        # NaNs compare false on BOTH sides of the count check, so they
+        # could slip through while ranking differently (lax.top_k's
+        # total order puts NaN FIRST; the candidate tie-sort pushes it
+        # last) — any NaN forces the fallback, whose lax.top_k
+        # semantics match.  tau == finfo.min would make the padded tail
+        # entries count as boundary ties — degenerate; also fallback.
+        gt_global = jnp.sum(s3 > tau[:, :, None], axis=(1, 2))
+        eq_global = jnp.sum(s3 == tau[:, :, None], axis=(1, 2))
+        any_nan = jnp.any(jnp.isnan(s3))
+        full_ok = (jnp.all((gt_global == gt_cand) & (eq_global == eq_cand))
+                   & ~any_nan & jnp.all(tau > lo))
+        # NOTE: the fallback is batch-global (one pathological row pays
+        # the full sort for the whole batch) — under jit a per-row
+        # select would have to COMPUTE the sort for every batch
+        # unconditionally, which costs more than the rare all-rows
+        # fallback.
+        return jax.lax.cond(full_ok, lambda s: accept, fb, op)
+
     return jax.lax.cond(
-        ok,
-        lambda s: (vals_sorted[:, :k], idx_sorted[:, :k]),
-        fb,
+        fast_ok,
+        lambda op: accept,
+        slow_tiers,
         fb_operand,
     )
 
