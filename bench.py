@@ -670,14 +670,23 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
         # timing noise (>=0.5 s of pure iteration time at expected rates)
         run_timed(fn, iters, **kw)              # compile short count
         run_timed(fn, iters + delta, **kw)      # compile long count
-        t1 = min(run_timed(fn, iters, **kw), run_timed(fn, iters, **kw))
-        # min over TWO long runs as well: a single tunnel hiccup on the
-        # long run otherwise poisons the delta (BENCH_r04 recorded
-        # mur_kl=160 it/s from one slow window; re-measured 26k)
-        t2 = min(run_timed(fn, iters + delta, **kw),
-                 run_timed(fn, iters + delta, **kw))
-        dt = max(t2 - t1, 0.05)  # 50 ms measurement floor
-        return round(delta / dt, 2)
+
+        def one_rate():
+            # min over TWO runs at each point: a single tunnel hiccup
+            # otherwise poisons the delta (BENCH_r04 recorded mur_kl=160
+            # it/s from one slow long window; re-measured 26k)
+            t1 = min(run_timed(fn, iters, **kw), run_timed(fn, iters, **kw))
+            t2 = min(run_timed(fn, iters + delta, **kw),
+                     run_timed(fn, iters + delta, **kw))
+            return delta / max(t2 - t1, 0.05)  # 50 ms measurement floor
+
+        # median of three delta pairs: min-of-two per point bounds the
+        # slow-window direction but a too-small delta (t2 hiccup on t1's
+        # side) can still INFLATE a single pair; the median discards one
+        # outlier in either direction (observed run-to-run: mur_eu 30k
+        # vs 66k for identical code across full bench runs)
+        rates = sorted(one_rate() for _ in range(3))
+        return round(rates[1], 2)
 
     from tpunmf.solvers import mur_masked
 
