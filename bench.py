@@ -698,10 +698,17 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
 
     out = {}
     out["mur_kl"] = rate(mur, 4000, distance_type="kl")
-    out["mur_eu"] = rate(mur, 4000, distance_type="eu")
+    # mur_eu at ~35k it/s: delta 4000 is ~0.11 s of pure time — above
+    # the floor but thin; 8000 doubles the margin
+    out["mur_eu"] = rate(mur, 8000, distance_type="eu")
     out["mur_masked_eu"] = rate(masked_eu, 2000, distance_type="eu")
-    out["hals"] = rate(hals, 2000)
-    out["anls"] = rate(anls, 100)
+    # delta 8000: HALS at ~37k it/s finishes 2000 extra iterations
+    # inside the 50 ms floor (2000/0.05 = the telltale 40000.0 clip)
+    out["hals"] = rate(hals, 8000)
+    # delta 500: at the post-r4 ~2.4k it/s the old delta=100 finished
+    # inside the 50 ms floor and reported exactly 100/0.05 = 2000.0 —
+    # a clip, not a measurement
+    out["anls"] = rate(anls, 500)
     # 'anls_fast' (relaxed-tolerance knobs) retired round 4: the knob set
     # predated freeze_stalled and measured STRICTLY SLOWER than the exact
     # path it was meant to beat (BENCH_r03 249.9 vs 356.8 it/s) — see
