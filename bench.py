@@ -566,13 +566,12 @@ def bench_serving(b=64, r=128, n=1 << 20, topk=100, iters=20) -> dict:
     exact vs bf16 retrieve-then-rerank (pre-stored bf16 H), plus the
     measured recall of the quantized stage vs exact.
 
-    Expectation, post the round-5 fused scoring kernel and the
-    measured oversample=2 default: quantized ~2.8 ms vs exact ~3.1 ms
-    at this shape (the halved H read now outweighs the candidate-stage
-    overhead of bmax-top-(2k), block gather, wide select, verification
-    and the f32 rescore), recall@100 0.993.  Delta-timed like every
-    other rate; the per-trip w_batch perturbation defeats CSE across
-    loop trips.
+    Expectation, post the round-5 fused scoring kernel, the measured
+    oversample=2 default, and tiered verification: quantized ~2.0-2.1
+    ms vs exact ~2.1-2.2 ms at this shape (both near the
+    scoring+relayout byte floor), recall@100 0.993.  Delta-timed like
+    every other rate; the per-trip w_batch perturbation defeats CSE
+    across loop trips.
     """
     from tpunmf.serve.topk import recall_at_k, topk_scores_dense
     from tpunmf.serve.topk import _quantized_rerank

@@ -489,21 +489,54 @@ def test_quantized_stage_scores_are_f32_accumulated(rng):
 
 def test_exact_topk_boundary_value_straddles_selection(rng):
     """tau equal to an UNSELECTED block's max (the round-5 fast tier's
-    rejection case): exactness must survive via the slower tiers, bit
-    for bit, including lowest-index-first tie order."""
+    rejection case): exactness must survive via the sort fallback, bit
+    for bit, including lowest-index-first tie order.
+
+    sel_extra=0 so ksel == k and the tie block (whose max equals the
+    k-th value) is genuinely left out of the selection — with the
+    default extra of 8 it would be gathered and the fast tier would
+    accept, never exercising the tau == m_next rejection."""
     import jax.numpy as jnp
     from tpunmf.serve.topk import _exact_topk
 
     b, n, k, block = 2, 129 * 128, 5, 128
     s = rng.random((b, n)).astype(np.float32)
-    # place the k-th value in an early block AND make it the max of a
-    # far block that top-(k+8) block selection will not gather
     s[:, :] = np.minimum(s, 0.8)
     for col in (3, 130, 260, 400, 523):       # five early candidates
         s[:, col] = 0.9
-    s[:, 128 * 100 + 7] = 0.9                 # tie in block 100 (unselected
-    s = jnp.asarray(s)                        #  only if ksel stays small)
+    s[:, 128 * 100 + 7] = 0.9                 # tie in unselected block 100
+    s = jnp.asarray(s)
+    v_ref, i_ref = jax.lax.top_k(s, k)
+    v, i = _exact_topk(s, k, block=block, sel_extra=0)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    # with the default extra the tie block IS gathered: fast tier path,
+    # same exact result
+    v2, i2 = _exact_topk(s, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))
+
+
+def test_exact_topk_nan_rows_fall_back(rng):
+    """NaN anywhere must force the fallback (fast tier's gathered-strip
+    isnan is a complete detector: a NaN block max sorts FIRST in
+    lax.top_k, so the NaN block is always gathered) and the result must
+    match lax.top_k's NaN-first semantics bit for bit — through both
+    _exact_topk and the relayout-core path the fused kernel uses."""
+    import jax.numpy as jnp
+    from tpunmf.ops.topk_select import blockmax_relayout_jnp
+    from tpunmf.serve.topk import _exact_topk, _exact_topk_core
+
+    b, n, k, block = 3, 40000, 7, 128
+    s = rng.random((b, n)).astype(np.float32)
+    s[0, 12345] = np.nan                      # one NaN in one row
+    s[2, 100] = np.nan
+    s[2, 39999] = np.nan
+    s = jnp.asarray(s)
     v_ref, i_ref = jax.lax.top_k(s, k)
     v, i = _exact_topk(s, k, block=block)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
-    np.testing.assert_array_equal(np.asarray(v), np.asarray(v_ref))
+    bm, s3 = blockmax_relayout_jnp(s)
+    # the NaN must have propagated into the block maxima
+    assert bool(jnp.any(jnp.isnan(bm)))
+    v2, i2 = _exact_topk_core(bm, s3, n, k, block=block)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i_ref))

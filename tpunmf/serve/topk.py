@@ -158,19 +158,23 @@ def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
     of everything at or above the boundary, and the count comparison
     only needs to run gathered-vs-candidates over the small gathered
     strip.  NaNs cannot hide either: a NaN anywhere makes its block max
-    NaN, and lax.top_k's total order puts NaN FIRST, so a NaN block is
-    always gathered — ``isnan`` over the gathered strip is a complete
-    detector.  Only when tau == m_next (a tie straddling the selection
-    boundary) does the middle tier run the original full-array count
-    verification; only when THAT fails does the sort fallback run.
-    Exactness (values AND lax.top_k tie order) stays unconditional.
+    NaN (``jnp.max`` propagates NaN, hardware-verified through both
+    Pallas kernels), and lax.top_k's total order puts NaN FIRST, so a
+    NaN block is always gathered — ``isnan`` over the gathered strip is
+    a complete detector.  When the fast tier rejects, the sort fallback
+    runs directly: a full-array count verification (the pre-round-5
+    tier) is PROVABLY redundant here — candidates ⊆ gathered ⊆ full
+    array means the global count equality implies the gathered one, and
+    tau >= m_next always holds (the k-th candidate is >= the k-th block
+    max >= m_next), so tau == m_next puts an un-gathered element == tau
+    in the array and the global eq-count exceeds the candidates' — the
+    full check could never accept a fast-tier rejection.  Exactness
+    (values AND lax.top_k tie order) stays unconditional.
 
-    Full-array counts run over ``s3`` (identical content; tail blocks
-    hold ``finfo.min`` padding, which can only miscount when tau itself
-    equals ``finfo.min`` — that degenerate case forces the fallback).
     ``scores`` is only needed by the rare tie/NaN fallback; when absent
     it is reconstructed from ``s3`` (one relayout, paid only on
-    fallback).
+    fallback; tail blocks hold ``finfo.min`` padding which the
+    ``tau > lo`` guard keeps out of the fast tier).
     """
     b, nb = bmax.shape
     ksel = min(k + sel_extra, nb)
@@ -220,30 +224,14 @@ def _exact_topk_core(bmax, s3, n: int, k: int, *, sel_block: int = 128,
     else:
         fb_operand, fb = scores, lambda s: _blocked_topk(s, k, block)
 
-    def slow_tiers(op):
-        # middle tier: the original full-array count verification —
-        # NaNs compare false on BOTH sides of the count check, so they
-        # could slip through while ranking differently (lax.top_k's
-        # total order puts NaN FIRST; the candidate tie-sort pushes it
-        # last) — any NaN forces the fallback, whose lax.top_k
-        # semantics match.  tau == finfo.min would make the padded tail
-        # entries count as boundary ties — degenerate; also fallback.
-        gt_global = jnp.sum(s3 > tau[:, :, None], axis=(1, 2))
-        eq_global = jnp.sum(s3 == tau[:, :, None], axis=(1, 2))
-        any_nan = jnp.any(jnp.isnan(s3))
-        full_ok = (jnp.all((gt_global == gt_cand) & (eq_global == eq_cand))
-                   & ~any_nan & jnp.all(tau > lo))
-        # NOTE: the fallback is batch-global (one pathological row pays
-        # the full sort for the whole batch) — under jit a per-row
-        # select would have to COMPUTE the sort for every batch
-        # unconditionally, which costs more than the rare all-rows
-        # fallback.
-        return jax.lax.cond(full_ok, lambda s: accept, fb, op)
-
+    # NOTE: the fallback is batch-global (one pathological row pays the
+    # full sort for the whole batch) — under jit a per-row select would
+    # have to COMPUTE the sort for every batch unconditionally, which
+    # costs more than the rare all-rows fallback.
     return jax.lax.cond(
         fast_ok,
         lambda op: accept,
-        slow_tiers,
+        fb,
         fb_operand,
     )
 
