@@ -700,7 +700,7 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
     # mur_eu at ~35k it/s: delta 4000 is ~0.11 s of pure time — above
     # the floor but thin; 8000 doubles the margin
     out["mur_eu"] = rate(mur, 8000, distance_type="eu")
-    out["mur_masked_eu"] = rate(masked_eu, 2000, distance_type="eu")
+    out["mur_masked_eu"] = rate(masked_eu, 6000, distance_type="eu")
     # delta 8000: HALS at ~37k it/s finishes 2000 extra iterations
     # inside the 50 ms floor (2000/0.05 = the telltale 40000.0 clip)
     out["hals"] = rate(hals, 8000)
@@ -713,7 +713,7 @@ def bench_solver_rates(m=2048, n=1024, k=64, iters=8) -> dict:
     # path it was meant to beat (BENCH_r03 249.9 vs 356.8 it/s) — see
     # docs/PERF.md "ANLS" for the attribution and its replacement
     # (warm-started exact path).
-    out["admm"] = rate(admm, 1000)
+    out["admm"] = rate(admm, 3000)
     out["ao_admm"] = rate(ao_admm, 2000)
     out["ao_admm_local_l1inf"] = rate(
         ao_admm, 1000, rho_mode="adaptive", reg_w=(0.1, "l1inf"))
